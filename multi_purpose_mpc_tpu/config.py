@@ -1,0 +1,227 @@
+"""Typed configuration for the TPU-native MPC framework.
+
+The reference keeps all configuration as inline constants in its driver
+scripts (reference: simulation.py:17-119, reference_path.py:654-728).  Here
+every subsystem gets a frozen dataclass config; frozen + hashable means the
+configs can be closed over by ``jax.jit`` as static structure while all
+runtime data lives in array pytrees.
+
+The two reference scenarios ship as presets because their exact values define
+the parity targets (reference: simulation.py:17-54 ``Sim_Track``,
+simulation.py:58-88 ``Real_Track``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Occupancy-grid map metadata (reference: map.py:45-75).
+
+    The grid itself (a ``(H, W)`` array, 1=free / 0=occupied) lives in
+    :class:`multi_purpose_mpc_tpu.ops.grid.GridMap`; this config holds the
+    static metadata needed to build it.
+    """
+
+    file_path: str
+    origin: Tuple[float, float]
+    resolution: float  # m / px
+    threshold_occupied: int = 100
+    hole_area_threshold: int = 5  # px, reference: map.py:113
+
+
+@dataclasses.dataclass(frozen=True)
+class PathConfig:
+    """Reference-path construction parameters (reference: reference_path.py:66-108)."""
+
+    wp_x: Tuple[float, ...]
+    wp_y: Tuple[float, ...]
+    resolution: float  # m / waypoint
+    smoothing_distance: int
+    max_width: float  # m, max drivable width to each side
+    circular: bool
+    # Number of ray samples used when marching the occupancy grid for the
+    # static width computation.  The reference walks Bresenham cell lists
+    # (reference: reference_path.py:268); we sample a fixed number of points
+    # along the ray so the op is shape-static and vmappable.
+    n_ray_samples: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Kinematic bicycle parameters (reference: spatial_bicycle_models.py:117-153)."""
+
+    length: float  # m
+    width: float  # m
+    Ts: float  # s, sampling time
+
+    @property
+    def safety_margin(self) -> float:
+        # Ellipsoid around the car (reference: spatial_bicycle_models.py:246-254).
+        return self.width / math.sqrt(2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Batched ADMM (OSQP-algorithm) solver settings.
+
+    Defaults follow OSQP's published defaults; the reference relies on them
+    implicitly through ``osqp.OSQP().setup(...)`` (reference: MPC.py:157-159).
+    Iteration counts are fixed (shape-static) instead of data-dependent;
+    convergence is reported as a per-lane status value, never an exception
+    (reference raises/catches instead: MPC.py:185-216).
+    """
+
+    sigma: float = 1e-6
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3  # equality rows use rho * this (OSQP convention)
+    alpha: float = 1.6  # over-relaxation
+    iterations: int = 50  # ADMM iterations per rho round
+    rho_updates: int = 4  # rho-adaptation rounds (refactorize between rounds)
+    scaling_iters: int = 10  # Ruiz equilibration sweeps (0 = no scaling)
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """LTV-MPC controller settings (reference: MPC.py:14-59, simulation.py:100-112).
+
+    ``Q``/``R``/``QN`` are the *diagonals* of the cost matrices — the
+    reference's cost assembly already assumes diagonal weights
+    (``np.diag(self.Q.A)``, reference: MPC.py:153-155).
+    """
+
+    N: int = 30
+    Q: Tuple[float, float, float] = (1.0, 0.0, 0.0)
+    R: Tuple[float, float] = (0.5, 0.0)
+    QN: Tuple[float, float, float] = (1.0, 0.0, 0.0)
+    v_max: float = 1.0  # m/s
+    delta_max: float = 0.66  # rad
+    ay_max: float = 4.0  # m/s^2
+    v_min: float = 0.0
+    # Corridor extraction: number of samples along the border-to-border
+    # scanline and max free-segment candidates kept per waypoint
+    # (reference walks Bresenham cells and keeps a Python list:
+    # reference_path.py:466-520; we use fixed shapes).
+    n_scan_samples: int = 128
+    max_segments: int = 8
+    solver: SolverConfig = SolverConfig()
+
+    @property
+    def nx(self) -> int:
+        return 3
+
+    @property
+    def nu(self) -> int:
+        return 2
+
+    def kappa_max(self, wheelbase: float) -> float:
+        # Input bound on curvature: |kappa| <= tan(delta_max)/L
+        # (reference: simulation.py:108-109).
+        return math.tan(self.delta_max) / wheelbase
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeedProfileConstraints:
+    """Constraints for the curvature-limited speed profile QP
+    (reference: simulation.py:115-119, reference_path.py:289-354)."""
+
+    a_min: float = -0.1  # m/s^2
+    a_max: float = 0.5  # m/s^2
+    v_min: float = 0.0  # m/s
+    v_max: float = 1.0  # m/s
+    ay_max: float = 4.0  # m/s^2
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Closed-loop simulation settings (reference: simulation.py:121-163)."""
+
+    max_steps: int = 2000  # static scan length; lanes carry a done mask
+    # Stop once s >= path length (reference: simulation.py:134); circular
+    # tracks may instead run a fixed number of laps via max_steps.
+
+
+@dataclasses.dataclass(frozen=True)
+class LidarConfig:
+    """Lidar sensor model (reference: lidar_model.py:10-35)."""
+
+    FoV: float = 180.0  # degrees
+    range: float = 5.0  # m
+    resolution: float = 1.0  # degrees / beam
+    n_ray_samples: int = 256  # samples along each beam (shape-static ray march)
+
+    @property
+    def n_beams(self) -> int:
+        return int(self.FoV / self.resolution + 1)
+
+
+# ---------------------------------------------------------------------------
+# Scenario presets (parity targets)
+# ---------------------------------------------------------------------------
+
+_SIM_TRACK_WP_X = (-0.75, -0.25, -0.25, 0.25, 0.25, 1.25, 1.25, 0.75, 0.75,
+                   1.25, 1.25, -0.75, -0.75, -0.25)
+_SIM_TRACK_WP_Y = (-1.5, -1.5, -0.5, -0.5, -1.5, -1.5, -1.0, -1.0, -0.5, -0.5,
+                   0.0, 0.0, -1.5, -1.5)
+
+# (cx, cy, radius) — reference: simulation.py:40-48
+SIM_TRACK_OBSTACLES = (
+    (0.0, 0.0, 0.05),
+    (-0.8, -0.5, 0.08),
+    (-0.7, -1.5, 0.05),
+    (-0.3, -1.0, 0.08),
+    (0.27, -1.0, 0.05),
+    (0.78, -1.47, 0.05),
+    (0.73, -0.9, 0.07),
+    (1.2, 0.0, 0.08),
+    (0.67, -0.05, 0.06),
+)
+
+
+def sim_track_preset(asset_dir: str = "assets/maps", use_obstacles: bool = True):
+    """The ``Sim_Track`` scenario (reference: simulation.py:17-54, 100-119)."""
+    map_cfg = MapConfig(
+        file_path=f"{asset_dir}/sim_map.png",
+        origin=(-1.0, -2.0),
+        resolution=0.005,
+    )
+    path_cfg = PathConfig(
+        wp_x=_SIM_TRACK_WP_X,
+        wp_y=_SIM_TRACK_WP_Y,
+        resolution=0.05,
+        smoothing_distance=5,
+        max_width=0.23,
+        circular=True,
+    )
+    model_cfg = ModelConfig(length=0.12, width=0.06, Ts=0.05)
+    mpc_cfg = MPCConfig()
+    speed_cfg = SpeedProfileConstraints()
+    obstacles = SIM_TRACK_OBSTACLES if use_obstacles else ()
+    return map_cfg, path_cfg, model_cfg, mpc_cfg, speed_cfg, obstacles
+
+
+def real_track_preset(asset_dir: str = "assets/maps"):
+    """The ``Real_Track`` scenario (reference: simulation.py:58-88)."""
+    map_cfg = MapConfig(
+        file_path=f"{asset_dir}/real_map.png",
+        origin=(-30.0, -24.0),
+        resolution=0.06,
+    )
+    path_cfg = PathConfig(
+        wp_x=(-9.169, 11.9, 7.3, -6.95),
+        wp_y=(-15.678, 10.9, 14.5, -3.31),
+        resolution=0.20,
+        smoothing_distance=5,
+        max_width=1.50,
+        circular=False,
+    )
+    model_cfg = ModelConfig(length=0.30, width=0.20, Ts=0.05)
+    mpc_cfg = MPCConfig()
+    speed_cfg = SpeedProfileConstraints()
+    return map_cfg, path_cfg, model_cfg, mpc_cfg, speed_cfg, ()

@@ -1,0 +1,107 @@
+"""Float64 reference QP solver + KKT optimality certificates.
+
+Ground truth for QP tests: the same operator-splitting ADMM algorithm the
+framework implements, but run in float64 for many iterations with adaptive
+rho, which converges to the unique KKT point of the (convex) QP.  Because no
+external QP library is available in this environment, optimality is certified
+directly via KKT residuals rather than by comparison to another solver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def solve_qp_f64(P, q, A, l, u, rho=0.1, rho_eq_scale=1e3, sigma=1e-6,
+                 alpha=1.6, max_iter=50000, eps=1e-10):
+    """High-accuracy float64 ADMM solve of min 1/2 x'Px + q'x, l <= Ax <= u,
+    with adaptive rho (refactorize on update)."""
+    P = np.asarray(P, np.float64)
+    q = np.asarray(q, np.float64)
+    A = np.asarray(A, np.float64)
+    l = np.asarray(l, np.float64)
+    u = np.asarray(u, np.float64)
+    n = q.shape[0]
+    m = l.shape[0]
+
+    is_eq = (u - l) < 1e-9
+
+    def factor(rho_s):
+        rho_vec = np.where(is_eq, rho_s * rho_eq_scale, rho_s)
+        M = P + sigma * np.eye(n) + (A.T * rho_vec) @ A
+        return rho_vec, np.linalg.cholesky(M)
+
+    rho_s = rho
+    rho_vec, L = factor(rho_s)
+
+    def kkt_solve(rhs):
+        return np.linalg.solve(L.T, np.linalg.solve(L, rhs))
+
+    x = np.zeros(n)
+    z = np.clip(A @ x, l, u)
+    y = np.zeros(m)
+    for it in range(max_iter):
+        rhs = sigma * x - q + A.T @ (rho_vec * z - y)
+        x_t = kkt_solve(rhs)
+        z_t = A @ x_t
+        x = alpha * x_t + (1 - alpha) * x
+        z_pre = alpha * z_t + (1 - alpha) * z
+        z_new = np.clip(z_pre + y / rho_vec, l, u)
+        y = y + rho_vec * (z_pre - z_new)
+        z = z_new
+        if it % 50 == 49:
+            Ax = A @ x
+            r_p = np.max(np.abs(Ax - z))
+            r_d = np.max(np.abs(P @ x + q + A.T @ y))
+            if r_p < eps and r_d < eps:
+                break
+            # adaptive rho (OSQP §5.2) on relative residuals
+            rp_rel = r_p / max(np.max(np.abs(Ax)), np.max(np.abs(z)), 1e-10)
+            qn = np.max(np.abs(q)) if len(q) else 0.0
+            rd_rel = r_d / max(np.max(np.abs(P @ x)), qn,
+                               np.max(np.abs(A.T @ y)), 1e-10)
+            ratio = np.sqrt(rp_rel / max(rd_rel, 1e-14))
+            if ratio > 5.0 or ratio < 0.2:
+                rho_s = float(np.clip(rho_s * ratio, 1e-6, 1e6))
+                rho_vec, L = factor(rho_s)
+    return x, y, z
+
+
+def kkt_residuals(P, q, A, l, u, x, y):
+    """KKT residuals for the QP: returns (stationarity, primal, complementarity).
+
+    * stationarity: ||P x + q + A' y||_inf
+    * primal:       max violation of l <= A x <= u
+    * complementarity: y_i > 0 requires (Ax)_i ~ u_i; y_i < 0 requires ~ l_i
+    """
+    Ax = A @ x
+    stat = np.max(np.abs(P @ x + q + A.T @ y))
+    prim = np.max(np.maximum(Ax - u, 0) + np.maximum(l - Ax, 0))
+    comp_u = np.abs(np.maximum(y, 0) * (u - Ax))
+    comp_l = np.abs(np.maximum(-y, 0) * (Ax - l))
+    # Ignore complementarity on infinite bounds (multiplier must be ~0 there,
+    # which stationarity already checks).
+    comp_u = np.where(np.isfinite(u), comp_u, np.abs(np.maximum(y, 0)))
+    comp_l = np.where(np.isfinite(l), comp_l, np.abs(np.maximum(-y, 0)))
+    comp = float(np.max(comp_u + comp_l)) if len(y) else 0.0
+    return float(stat), float(prim), comp
+
+
+def random_box_qp(rng, n=20, m=30, eq_rows=5):
+    """Random strictly convex *feasible* QP with equality and box rows.
+
+    Bounds are built around A @ x_feas for a sampled feasible point so the
+    constraint set is guaranteed nonempty.
+    """
+    F = rng.normal(size=(n, n))
+    P = F @ F.T + 0.1 * np.eye(n)
+    q = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    x_feas = rng.normal(size=n)
+    center = A @ x_feas
+    width = np.abs(rng.normal(size=m)) + 0.1
+    l = center - width * rng.uniform(0.1, 1.0, size=m)
+    u = center + width * rng.uniform(0.1, 1.0, size=m)
+    l[:eq_rows] = center[:eq_rows]
+    u[:eq_rows] = center[:eq_rows]
+    return P, q, A, l, u
