@@ -39,6 +39,14 @@ from multi_purpose_mpc_tpu.config import (
 from multi_purpose_mpc_tpu.ops.grid import GridMap, w2m, m2w, add_obstacles, add_boundary
 from multi_purpose_mpc_tpu.ops.path import PathData, build_reference_path
 from multi_purpose_mpc_tpu.models.bicycle import CarState, init_car_state
+from multi_purpose_mpc_tpu.api import (
+    Map,
+    Obstacle,
+    ReferencePath,
+    BicycleModel,
+    MPC,
+    LidarModel,
+)
 
 __version__ = "0.1.0"
 
@@ -61,4 +69,10 @@ __all__ = [
     "build_reference_path",
     "CarState",
     "init_car_state",
+    "Map",
+    "Obstacle",
+    "ReferencePath",
+    "BicycleModel",
+    "MPC",
+    "LidarModel",
 ]

@@ -80,11 +80,28 @@ class SolverConfig:
     rho: float = 0.1
     rho_eq_scale: float = 1e3  # equality rows use rho * this (OSQP convention)
     alpha: float = 1.6  # over-relaxation
-    iterations: int = 50  # ADMM iterations per rho round
-    rho_updates: int = 4  # rho-adaptation rounds (refactorize between rounds)
+    # Defaults tuned on full Sim_Track laps (obstacle-avoidance config):
+    # 30 x 6 rounds + 10 polish iterations -> 100% accept rate; fewer rounds
+    # fall off a convergence cliff at obstacle pinch-points.
+    iterations: int = 30  # ADMM iterations per rho round
+    rho_updates: int = 6  # rho-adaptation rounds (refactorize between rounds)
     scaling_iters: int = 10  # Ruiz equilibration sweeps (0 = no scaling)
-    eps_abs: float = 1e-4
-    eps_rel: float = 1e-4
+    # Reuse the adapted rho from the warm-start carry.  Off by default:
+    # measured on closed-loop laps, a rho adapted to one step's QP poisons
+    # the next step's different active set (accept-rate 0.34 vs 0.93).
+    carry_rho: bool = False
+    # Final "polish" round: boost rho on rows sitting at their bounds and run
+    # a few extra iterations — a soft version of OSQP's active-set polishing
+    # that reuses the same factorization machinery.
+    polish_iters: int = 10
+    polish_boost: float = 100.0
+    # OSQP's published defaults — also what the reference's solver ran with.
+    # NOTE: the reference MPC cost (R = diag(0.5, 0)) leaves the curvature
+    # input nearly cost-flat, so at eps ~1e-3 ANY solver returns one of a
+    # wide set of near-optimal kappa sequences; acceptance criteria must be
+    # feasibility + optimality gap, not elementwise solution match.
+    eps_abs: float = 1e-3
+    eps_rel: float = 1e-3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +121,17 @@ class MPCConfig:
     delta_max: float = 0.66  # rad
     ay_max: float = 4.0  # m/s^2
     v_min: float = 0.0
+    # General state box (reference StateConstraints, simulation.py:110-111;
+    # the e_y rows are overwritten by the dynamic corridor each step)
+    xmin: Tuple[float, float, float] = (-math.inf, -math.inf, -math.inf)
+    xmax: Tuple[float, float, float] = (math.inf, math.inf, math.inf)
+    # Control-acceptance primal-feasibility tolerance.  The reference accepts
+    # ANY numeric OSQP solution — including max-iter ones — and replays old
+    # controls only when OSQP returns non-numeric x (primal infeasible;
+    # MPC.py:185-216).  Our analogue: accept finite solutions whose primal
+    # residual is below this; a truly infeasible QP (collapsed corridor)
+    # leaves a residual at the collapse magnitude (~1e-1).
+    feas_tol: float = 5e-3
     # Corridor extraction: number of samples along the border-to-border
     # scanline and max free-segment candidates kept per waypoint
     # (reference walks Bresenham cells and keeps a Python list:
@@ -111,6 +139,10 @@ class MPCConfig:
     n_scan_samples: int = 128
     max_segments: int = 8
     solver: SolverConfig = SolverConfig()
+    # QP solver backend for fleet rollouts: "pallas" = fused TPU kernel
+    # (VMEM-resident ADMM, the fast path), "xla" = vmapped stage-scan solver
+    # (portable), "auto" = pallas on TPU, xla elsewhere.
+    solver_backend: str = "auto"
 
     @property
     def nx(self) -> int:
@@ -145,6 +177,10 @@ class SimConfig:
     max_steps: int = 2000  # static scan length; lanes carry a done mask
     # Stop once s >= path length (reference: simulation.py:134); circular
     # tracks may instead run a fixed number of laps via max_steps.
+    # Static grid: free-segment extraction is precomputed once per rollout
+    # instead of per lane per step (exact same corridor semantics).  Set
+    # False when the grid changes during the run (LiDAR-in-the-loop).
+    static_grid: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,6 +195,17 @@ class LidarConfig:
     @property
     def n_beams(self) -> int:
         return int(self.FoV / self.resolution + 1)
+
+
+def time_optimal_config(cfg: MPCConfig, t_weight: float = 10.0,
+                        r_v: float = 0.01) -> MPCConfig:
+    """Time-optimal driving weights (reference README.md:48, Verschueren et
+    al.): time is a state, so minimum-time driving is just a weight choice —
+    zero running state cost, terminal weight on t, (near-)zero speed-tracking
+    cost so v runs to its dynamic bound.  Obstacle/track safety still comes
+    from the corridor bounds."""
+    return dataclasses.replace(
+        cfg, Q=(0.0, 0.0, 0.0), QN=(0.0, 0.0, t_weight), R=(r_v, 0.0))
 
 
 # ---------------------------------------------------------------------------

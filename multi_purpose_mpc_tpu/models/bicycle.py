@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from multi_purpose_mpc_tpu.ops.ltv_qp import SolverCarry, init_solver_carry
 from multi_purpose_mpc_tpu.ops.path import PathData, gather_waypoint_index, wrap_angle
 
 
@@ -50,8 +51,11 @@ class CarState:
     e_y: jnp.ndarray
     e_psi: jnp.ndarray
     # Cached N-step control sequence (v_0, kappa_0, ..., v_{N-1}, kappa_{N-1})
-    # for warm starts + infeasibility replay (reference: MPC.py:56, 208-216).
+    # for infeasibility replay (reference: MPC.py:56, 208-216).
     u_seq: jnp.ndarray  # (N * 2,)
+    # Persistent ADMM iterate (primal/slack/dual/rho) — the warm start the
+    # reference forfeits by re-setup-ing OSQP every step (MPC.py:157-159).
+    solver: SolverCarry
     infeasibility_count: jnp.ndarray  # int32 consecutive failures
     done: jnp.ndarray  # bool: reached end of path
     failed: jnp.ndarray  # bool: N-1 consecutive infeasible solves (ref exit(1))
@@ -75,6 +79,7 @@ def init_car_state(path: PathData, N: int, e_y: float = 0.0, e_psi: float = 0.0,
         e_y=jnp.asarray(e_y, f32),
         e_psi=jnp.asarray(e_psi, f32),
         u_seq=jnp.zeros((N * 2,), f32),
+        solver=init_solver_carry(N),
         infeasibility_count=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False, bool),
         failed=jnp.asarray(False, bool),

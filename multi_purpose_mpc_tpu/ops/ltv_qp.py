@@ -70,12 +70,43 @@ class LTVQP:
         return self.B.shape[-3]
 
 
+@struct.dataclass
+class SolverCarry:
+    """Complete ADMM iterate, persisted across control steps per lane.
+
+    Consecutive MPC QPs differ by one path step, so warm-starting the primal,
+    slack AND dual iterates (plus the adapted rho) cuts required iterations by
+    an order of magnitude on tight active sets — the persistent-solver
+    capability OSQP offers but the reference's per-step ``setup()`` forfeits
+    (MPC.py:157-159, SURVEY.md §7 shift #2).
+    """
+
+    X: jnp.ndarray  # (N+1, 3)
+    U: jnp.ndarray  # (N, 2)
+    Zx: jnp.ndarray  # (N+1, 3)
+    Zu: jnp.ndarray  # (N, 2)
+    Yeq: jnp.ndarray  # (N+1, 3)
+    Yx: jnp.ndarray  # (N+1, 3)
+    Yu: jnp.ndarray  # (N, 2)
+    rho: jnp.ndarray  # () adapted step size
+
+
+def init_solver_carry(N: int, rho0: float = 0.1) -> SolverCarry:
+    f32 = jnp.float32
+    return SolverCarry(
+        X=jnp.zeros((N + 1, NX), f32), U=jnp.zeros((N, NU), f32),
+        Zx=jnp.zeros((N + 1, NX), f32), Zu=jnp.zeros((N, NU), f32),
+        Yeq=jnp.zeros((N + 1, NX), f32), Yx=jnp.zeros((N + 1, NX), f32),
+        Yu=jnp.zeros((N, NU), f32), rho=jnp.asarray(rho0, f32))
+
+
 class LTVSolution(NamedTuple):
     X: jnp.ndarray  # (N+1, 3) primal states
     U: jnp.ndarray  # (N, 2) primal inputs
     status: jnp.ndarray  # () int32 — admm.SOLVED / MAX_ITER / DIVERGED
     r_prim: jnp.ndarray  # () inf-norm primal residual
     r_dual: jnp.ndarray  # () inf-norm dual residual
+    carry: "SolverCarry" = None  # final iterate for the next step's warm start
 
 
 # ---------------------------------------------------------------------------
@@ -104,13 +135,17 @@ def eq_applyT(qp: LTVQP, W):
 # Block-tridiagonal factorization of the reduced KKT matrix
 # ---------------------------------------------------------------------------
 
-def _build_blocks(qp: LTVQP, rho_eq, rho_in, sigma):
+def _build_blocks(qp: LTVQP, rho_eq, rho_x, rho_u, sigma):
     """Diagonal blocks D_n and sub-diagonal blocks C_n of M in stage space.
 
-    D_n (n < N) = [[Qd + s + ri + re (I + A_n'A_n),  re A_n'B_n],
-                   [re B_n'A_n,  Rd + s + ri + re B_n'B_n]]
-    D_N = diag(QNd + s + ri + re) padded to 5x5 with identity
+    D_n (n < N) = [[Qd + s + diag(rho_x_n) + re (I + A_n'A_n),  re A_n'B_n],
+                   [re B_n'A_n,  Rd + s + diag(rho_u_n) + re B_n'B_n]]
+    D_N = diag(QNd + s + rho_x_N + re) padded to 5x5 with identity
     C_n = rows(stage n+1) x cols(stage n): [[-re A_n, -re B_n], [0, 0]]
+
+    ``rho_x`` (N+1, 3) / ``rho_u`` (N, 2): per-row step sizes for the
+    identity (box) constraints — equality-like rows (l == u) and polish-
+    boosted active rows carry larger values, like OSQP's rho vector.
     """
     N = qp.N
     dtype = qp.A.dtype
@@ -122,13 +157,13 @@ def _build_blocks(qp: LTVQP, rho_eq, rho_in, sigma):
     D = jnp.zeros(batch + (N + 1, NW, NW), dtype)
     eye3 = jnp.eye(NX, dtype=dtype)
 
+    def embed_diag(v, n):
+        return jnp.einsum("...i,ij->...ij", v, jnp.eye(n, dtype=dtype))
+
     # stages 0..N-1
     xx = (rho_eq * (eye3 + AtA)
-          + jnp.eye(NX, dtype=dtype) * (sigma + rho_in)
-          + jnp.einsum("...ni,ij->...nij", qp.P_x[..., :-1, :], eye3))
-    uu = (rho_eq * BtB
-          + jnp.eye(NU, dtype=dtype) * (sigma + rho_in)
-          + jnp.einsum("...ni,ij->...nij", qp.P_u, jnp.eye(NU, dtype=dtype)))
+          + embed_diag(sigma + rho_x[..., :-1, :] + qp.P_x[..., :-1, :], NX))
+    uu = (rho_eq * BtB + embed_diag(sigma + rho_u + qp.P_u, NU))
     xu = rho_eq * AtB
     D = D.at[..., :-1, :NX, :NX].set(xx)
     D = D.at[..., :-1, :NX, NX:].set(xu)
@@ -136,8 +171,7 @@ def _build_blocks(qp: LTVQP, rho_eq, rho_in, sigma):
     D = D.at[..., :-1, NX:, NX:].set(uu)
 
     # terminal stage (x_N only; pad with identity so the 5x5 solve is benign)
-    xxN = (jnp.eye(NX, dtype=dtype) * (sigma + rho_in + rho_eq)
-           + jnp.einsum("...i,ij->...ij", qp.P_x[..., -1, :], eye3))
+    xxN = embed_diag(sigma + rho_eq + rho_x[..., -1, :] + qp.P_x[..., -1, :], NX)
     D = D.at[..., -1, :NX, :NX].set(xxN)
     D = D.at[..., -1, NX:, NX:].set(jnp.eye(NU, dtype=dtype))
 
@@ -203,27 +237,41 @@ def _solve(Sinv, C, b):
 
 def solve_ltv_qp(qp: LTVQP, cfg: SolverConfig,
                  X0: Optional[jnp.ndarray] = None,
-                 U0: Optional[jnp.ndarray] = None) -> LTVSolution:
+                 U0: Optional[jnp.ndarray] = None,
+                 warm: Optional[SolverCarry] = None) -> LTVSolution:
     """ADMM solve of one LTV-MPC QP (single lane; vmap for the fleet).
 
     Equality rows keep ``rho * rho_eq_scale``; the projection pins their
     z-block to ``beq`` exactly, so only the identity rows carry a box
     projection.  Fixed iteration counts; rho adapts between rounds with a
     refactorization (one extra stage scan), like OSQP.
+
+    ``warm`` (preferred): a full :class:`SolverCarry` from the previous
+    control step — primal + slack + dual + adapted rho.  ``X0``/``U0``:
+    primal-only warm start (duals cold).
     """
     N = qp.N
     dtype = qp.A.dtype
     sigma = jnp.asarray(cfg.sigma, dtype)
     alpha = jnp.asarray(cfg.alpha, dtype)
 
-    X = jnp.zeros((N + 1, NX), dtype) if X0 is None else X0
-    U = jnp.zeros((N, NU), dtype) if U0 is None else U0
-    # constraint-space iterates: eq block pinned, identity block boxed
-    Zx = jnp.clip(X, qp.lx, qp.ux)
-    Zu = jnp.clip(U, qp.lu, qp.uu)
-    Yeq = jnp.zeros((N + 1, NX), dtype)
-    Yx = jnp.zeros((N + 1, NX), dtype)
-    Yu = jnp.zeros((N, NU), dtype)
+    if warm is not None:
+        X, U = warm.X, warm.U
+        Zx = jnp.clip(warm.Zx, qp.lx, qp.ux)
+        Zu = jnp.clip(warm.Zu, qp.lu, qp.uu)
+        Yeq, Yx, Yu = warm.Yeq, warm.Yx, warm.Yu
+        rho0 = (jnp.clip(warm.rho, 1e-6, 1e6) if cfg.carry_rho
+                else jnp.asarray(cfg.rho, dtype))
+    else:
+        X = jnp.zeros((N + 1, NX), dtype) if X0 is None else X0
+        U = jnp.zeros((N, NU), dtype) if U0 is None else U0
+        # constraint-space iterates: eq block pinned, identity block boxed
+        Zx = jnp.clip(X, qp.lx, qp.ux)
+        Zu = jnp.clip(U, qp.lu, qp.uu)
+        Yeq = jnp.zeros((N + 1, NX), dtype)
+        Yx = jnp.zeros((N + 1, NX), dtype)
+        Yu = jnp.zeros((N, NU), dtype)
+        rho0 = jnp.asarray(cfg.rho, dtype)
 
     def pack(X, U):
         # (N+1, 5): stage n -> (x_n, u_n), u_N slot zero-padded
@@ -233,11 +281,25 @@ def solve_ltv_qp(qp: LTVQP, cfg: SolverConfig,
     def unpack(W):
         return W[..., :NX], W[..., :-1, NX:]
 
-    def run_round(carry, _):
-        X, U, Zx, Zu, Yeq, Yx, Yu, rho_scalar = carry
+    # per-row step sizes: equality-like box rows (l == u: the pinned x0 e_y
+    # and collapsed-corridor rows) carry rho * rho_eq_scale like OSQP's rho
+    # vector; polish boosts active rows further
+    is_eq_x = (qp.ux - qp.lx) < 1e-9
+    is_eq_u = (qp.uu - qp.lu) < 1e-9
+
+    def rho_rows(rho_scalar, boost_x=None, boost_u=None):
+        rx = jnp.where(is_eq_x, rho_scalar * cfg.rho_eq_scale, rho_scalar)
+        ru = jnp.where(is_eq_u, rho_scalar * cfg.rho_eq_scale, rho_scalar)
+        if boost_x is not None:
+            rx = rx * boost_x
+            ru = ru * boost_u
+        return rx, ru
+
+    def run_iters(iters, rho_scalar, state, boost_x=None, boost_u=None):
+        X, U, Zx, Zu, Yeq, Yx, Yu = state
         rho_eq = rho_scalar * cfg.rho_eq_scale
-        rho_in = rho_scalar
-        D, C = _build_blocks(qp, rho_eq, rho_in, sigma)
+        rho_x, rho_u = rho_rows(rho_scalar, boost_x, boost_u)
+        D, C = _build_blocks(qp, rho_eq, rho_x, rho_u, sigma)
         Sinv = _factor(D, C)
 
         def body(_, state):
@@ -245,8 +307,8 @@ def solve_ltv_qp(qp: LTVQP, cfg: SolverConfig,
             # rhs = sigma z - q + A'(rho o z_c - y)
             weq = rho_eq * qp.beq - Yeq
             gx_eq, gu_eq = eq_applyT(qp, weq)
-            rx = sigma * X - qp.q_x + gx_eq + (rho_in * Zx - Yx)
-            ru = sigma * U - qp.q_u + gu_eq + (rho_in * Zu - Yu)
+            rx = sigma * X - qp.q_x + gx_eq + (rho_x * Zx - Yx)
+            ru = sigma * U - qp.q_u + gu_eq + (rho_u * Zu - Yu)
             W = _solve(Sinv, C, pack(rx, ru))
             Xt, Ut = unpack(W)
 
@@ -259,14 +321,18 @@ def solve_ltv_qp(qp: LTVQP, cfg: SolverConfig,
             # identity rows: box projection
             Zx_pre = alpha * Xt + (1 - alpha) * Zx
             Zu_pre = alpha * Ut + (1 - alpha) * Zu
-            Zx_n = jnp.clip(Zx_pre + Yx / rho_in, qp.lx, qp.ux)
-            Zu_n = jnp.clip(Zu_pre + Yu / rho_in, qp.lu, qp.uu)
-            Yx_n = Yx + rho_in * (Zx_pre - Zx_n)
-            Yu_n = Yu + rho_in * (Zu_pre - Zu_n)
+            Zx_n = jnp.clip(Zx_pre + Yx / rho_x, qp.lx, qp.ux)
+            Zu_n = jnp.clip(Zu_pre + Yu / rho_u, qp.lu, qp.uu)
+            Yx_n = Yx + rho_x * (Zx_pre - Zx_n)
+            Yu_n = Yu + rho_u * (Zu_pre - Zu_n)
             return Xn, Un, Zx_n, Zu_n, Yeq_n, Yx_n, Yu_n
 
-        X, U, Zx, Zu, Yeq, Yx, Yu = jax.lax.fori_loop(
-            0, cfg.iterations, body, (X, U, Zx, Zu, Yeq, Yx, Yu))
+        return jax.lax.fori_loop(0, iters, body, (X, U, Zx, Zu, Yeq, Yx, Yu))
+
+    def run_round(carry, _):
+        (*state, rho_scalar) = carry
+        X, U, Zx, Zu, Yeq, Yx, Yu = run_iters(cfg.iterations, rho_scalar,
+                                              tuple(state))
 
         # adaptive rho from relative residuals
         Req = eq_apply(qp, X, U)
@@ -279,19 +345,54 @@ def solve_ltv_qp(qp: LTVQP, cfg: SolverConfig,
         rd_vec = jnp.maximum(jnp.max(jnp.abs(dx)), jnp.max(jnp.abs(du)))
         den_p = jnp.maximum(jnp.max(jnp.abs(Req)),
                             jnp.maximum(jnp.max(jnp.abs(X)), jnp.max(jnp.abs(U))))
-        den_d = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(qp.P_x * X)),
-                                        jnp.max(jnp.abs(qp.q_x))),
-                            jnp.maximum(jnp.max(jnp.abs(gx_eq)), 1e-10))
+        den_d = jnp.maximum(
+            jnp.maximum(jnp.maximum(jnp.max(jnp.abs(qp.P_x * X)),
+                                    jnp.max(jnp.abs(qp.P_u * U))),
+                        jnp.maximum(jnp.max(jnp.abs(qp.q_x)),
+                                    jnp.max(jnp.abs(qp.q_u)))),
+            jnp.maximum(jnp.maximum(jnp.max(jnp.abs(gx_eq)),
+                                    jnp.max(jnp.abs(gu_eq))), 1e-10))
         ratio = jnp.sqrt((rp_vec / jnp.maximum(den_p, 1e-10)) /
                          jnp.maximum(rd_vec / jnp.maximum(den_d, 1e-10), 1e-12))
         rho_new = jnp.clip(rho_scalar * ratio, 1e-6, 1e6)
         rho_new = jnp.where(jnp.isfinite(rho_new), rho_new, rho_scalar)
         return (X, U, Zx, Zu, Yeq, Yx, Yu, rho_new), None
 
-    rho0 = jnp.asarray(cfg.rho, dtype)
-    (X, U, Zx, Zu, Yeq, Yx, Yu, _), _ = jax.lax.scan(
+    (X, U, Zx, Zu, Yeq, Yx, Yu, rho_out), _ = jax.lax.scan(
         run_round, (X, U, Zx, Zu, Yeq, Yx, Yu, rho0), None,
         length=max(cfg.rho_updates, 1))
+
+    def primal_res(X, U, Zx, Zu):
+        Req = eq_apply(qp, X, U)
+        return jnp.maximum(
+            jnp.max(jnp.abs(Req - qp.beq)),
+            jnp.maximum(
+                jnp.max(jnp.clip(qp.lx - X, 0, jnp.inf) + jnp.clip(X - qp.ux, 0, jnp.inf)),
+                jnp.max(jnp.clip(qp.lu - U, 0, jnp.inf) + jnp.clip(U - qp.uu, 0, jnp.inf))))
+
+    if cfg.polish_iters > 0:
+        # Soft active-set polish: boost rho on rows at their (finite) bounds
+        # and run a few extra iterations.  The polished iterate is only a
+        # CANDIDATE — taken when it improves the primal residual; a wrong
+        # active-set guess must neither degrade the answer nor poison the
+        # next step's warm start (the carry below stays pre-polish either
+        # way, selected by the same test).
+        tol = 1e-4
+        act_x = ((Zx <= qp.lx + tol) | (Zx >= qp.ux - tol)) & \
+            jnp.isfinite(jnp.where(Zx <= qp.lx + tol, qp.lx, qp.ux))
+        act_u = ((Zu <= qp.lu + tol) | (Zu >= qp.uu - tol)) & \
+            jnp.isfinite(jnp.where(Zu <= qp.lu + tol, qp.lu, qp.uu))
+        boost_x = jnp.where(act_x, cfg.polish_boost, 1.0)
+        boost_u = jnp.where(act_u, cfg.polish_boost, 1.0)
+        polished = run_iters(cfg.polish_iters, rho_out,
+                             (X, U, Zx, Zu, Yeq, Yx, Yu),
+                             boost_x=boost_x, boost_u=boost_u)
+        rp_main = primal_res(X, U, Zx, Zu)
+        rp_pol = primal_res(polished[0], polished[1], polished[2], polished[3])
+        take = rp_pol < rp_main
+        X, U, Zx, Zu, Yeq, Yx, Yu = jax.tree.map(
+            lambda p, m: jnp.where(take, p, m),
+            polished, (X, U, Zx, Zu, Yeq, Yx, Yu))
 
     # residuals / status (unscaled problem; per-lane values, never exceptions)
     Req = eq_apply(qp, X, U)
@@ -316,7 +417,14 @@ def solve_ltv_qp(qp: LTVQP, cfg: SolverConfig,
     status = jnp.where(~finite, admm_mod.DIVERGED,
                        jnp.where(converged, admm_mod.SOLVED,
                                  admm_mod.MAX_ITER)).astype(jnp.int32)
-    return LTVSolution(X=X, U=U, status=status, r_prim=r_prim, r_dual=r_dual)
+    # a diverged iterate must not poison the next step's warm start
+    carry = SolverCarry(X=X, U=U, Zx=Zx, Zu=Zu, Yeq=Yeq, Yx=Yx, Yu=Yu,
+                        rho=rho_out)
+    carry = jax.tree.map(
+        lambda a, z: jnp.where(finite, a, z),
+        carry, init_solver_carry(N, cfg.rho))
+    return LTVSolution(X=X, U=U, status=status, r_prim=r_prim, r_dual=r_dual,
+                       carry=carry)
 
 
 # ---------------------------------------------------------------------------

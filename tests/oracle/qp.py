@@ -13,9 +13,9 @@ import numpy as np
 
 
 def solve_qp_f64(P, q, A, l, u, rho=0.1, rho_eq_scale=1e3, sigma=1e-6,
-                 alpha=1.6, max_iter=50000, eps=1e-10):
+                 alpha=1.6, max_iter=50000, eps=1e-10, x0=None, y0=None):
     """High-accuracy float64 ADMM solve of min 1/2 x'Px + q'x, l <= Ax <= u,
-    with adaptive rho (refactorize on update)."""
+    with adaptive rho (refactorize on update) and optional warm start."""
     P = np.asarray(P, np.float64)
     q = np.asarray(q, np.float64)
     A = np.asarray(A, np.float64)
@@ -37,9 +37,9 @@ def solve_qp_f64(P, q, A, l, u, rho=0.1, rho_eq_scale=1e3, sigma=1e-6,
     def kkt_solve(rhs):
         return np.linalg.solve(L.T, np.linalg.solve(L, rhs))
 
-    x = np.zeros(n)
+    x = np.zeros(n) if x0 is None else np.asarray(x0, np.float64).copy()
     z = np.clip(A @ x, l, u)
-    y = np.zeros(m)
+    y = np.zeros(m) if y0 is None else np.asarray(y0, np.float64).copy()
     for it in range(max_iter):
         rhs = sigma * x - q + A.T @ (rho_vec * z - y)
         x_t = kkt_solve(rhs)
@@ -85,6 +85,25 @@ def kkt_residuals(P, q, A, l, u, x, y):
     comp_l = np.where(np.isfinite(l), comp_l, np.abs(np.maximum(-y, 0)))
     comp = float(np.max(comp_u + comp_l)) if len(y) else 0.0
     return float(stat), float(prim), comp
+
+
+def optimality_gap(P, q, z, z_ref):
+    """Objective gap cost(z) - cost(z_ref) — the right closeness measure for
+    QPs with cost-flat directions (see SolverConfig docstring)."""
+    P = np.asarray(P, np.float64)
+    q = np.asarray(q, np.float64)
+    z = np.asarray(z, np.float64)
+    z_ref = np.asarray(z_ref, np.float64)
+
+    def cost(v):
+        return 0.5 * v @ P @ v + q @ v
+
+    return float(cost(z) - cost(z_ref))
+
+
+def primal_violation(A, l, u, z):
+    Az = np.asarray(A, np.float64) @ np.asarray(z, np.float64)
+    return float(np.max(np.maximum(Az - u, 0) + np.maximum(l - Az, 0)))
 
 
 def random_box_qp(rng, n=20, m=30, eq_rows=5):

@@ -1,0 +1,87 @@
+"""Pallas fused ADMM kernel vs the XLA stage-scan solver (interpret mode on
+CPU; the compiled kernel is exercised on real TPU by bench.py / examples)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multi_purpose_mpc_tpu.config import SolverConfig
+from multi_purpose_mpc_tpu.ops import admm
+from multi_purpose_mpc_tpu.ops.admm_pallas import solve_ltv_qp_pallas
+from multi_purpose_mpc_tpu.ops.ltv_qp import (
+    init_solver_carry,
+    materialize_dense,
+    solve_ltv_qp,
+)
+from tests.oracle.qp import optimality_gap, primal_violation, solve_qp_f64
+from tests.test_ltv_qp import _random_qp
+
+CFG = SolverConfig(iterations=30, rho_updates=3)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(11)
+    B = 4
+    qps = [_random_qp(rng) for _ in range(B)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+    warm = jax.vmap(lambda _: init_solver_carry(8))(jnp.arange(B))
+    return qps, batched, warm
+
+
+def test_kernel_matches_xla_solver(batch):
+    """Same algorithm, same rho trajectory, same residual quality."""
+    qps, batched, warm = batch
+    ref = jax.vmap(lambda qp, w: solve_ltv_qp(qp, CFG, warm=w))(batched, warm)
+    out = solve_ltv_qp_pallas(batched, warm, CFG, lanes=8, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(out.status), np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.r_prim), np.asarray(ref.r_prim),
+                               atol=1e-4)
+    # rho adaptation feeds tiny float diffs through sqrt-ratios over several
+    # rounds, so only the order of magnitude is stable
+    ratio = np.asarray(out.carry.rho) / np.asarray(ref.carry.rho)
+    assert (ratio > 0.1).all() and (ratio < 10.0).all(), ratio
+    # solutions agree up to the flat-direction tolerance; speed commands tight
+    np.testing.assert_allclose(np.asarray(out.U[..., 0]),
+                               np.asarray(ref.U[..., 0]), atol=2e-3)
+
+
+def test_kernel_against_f64_oracle(batch):
+    """Feasibility + optimality gap vs the float64 oracle per lane."""
+    qps, batched, warm = batch
+    out = solve_ltv_qp_pallas(batched, warm,
+                              SolverConfig(iterations=100, rho_updates=8),
+                              lanes=8, interpret=True)
+    for i, qp in enumerate(qps):
+        P, q, A, l, u = materialize_dense(qp)
+        x_ref, _, _ = solve_qp_f64(P, q, A, l, u)
+        z = np.concatenate([np.asarray(out.X[i]).reshape(-1),
+                            np.asarray(out.U[i]).reshape(-1)])
+        assert primal_violation(A, l, u, z) < 2e-3, i
+        assert abs(optimality_gap(P, q, z, x_ref)) < 2e-3, i
+        assert int(out.status[i]) != admm.DIVERGED
+
+
+def test_kernel_batch_padding(batch):
+    """Batch not divisible by the lane tile gets padded transparently."""
+    qps, batched, warm = batch
+    b3 = jax.tree.map(lambda a: a[:3], batched)
+    w3 = jax.tree.map(lambda a: a[:3], warm)
+    out = solve_ltv_qp_pallas(b3, w3, CFG, lanes=8, interpret=True)
+    assert out.X.shape[0] == 3
+    full = solve_ltv_qp_pallas(batched, warm, CFG, lanes=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.U[..., 0]),
+                               np.asarray(full.U[:3, ..., 0]), atol=1e-4)
+
+
+def test_kernel_nan_input_flags_diverged(batch):
+    qps, batched, warm = batch
+    bad = batched.replace(q_x=batched.q_x.at[0, 0, 0].set(jnp.nan))
+    out = solve_ltv_qp_pallas(bad, warm, CFG, lanes=8, interpret=True)
+    assert int(out.status[0]) == admm.DIVERGED
+    # lanes are isolated: the NaN lane must not leak into others
+    assert (np.asarray(out.status[1:]) != admm.DIVERGED).all()
+    # and its carry is reset so the next solve starts clean
+    assert np.isfinite(np.asarray(out.carry.X[0])).all()

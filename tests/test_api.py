@@ -1,0 +1,160 @@
+"""Reference-mirroring API tests: the drop-in classes must support the
+reference's driver workflow (simulation.py:10-163) end to end."""
+
+import os
+
+import numpy as np
+import pytest
+
+import multi_purpose_mpc_tpu as mpc_pkg
+from multi_purpose_mpc_tpu import (
+    BicycleModel,
+    LidarModel,
+    Map,
+    MPC,
+    Obstacle,
+    ReferencePath,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ASSET = os.path.join(REPO, "assets", "maps")
+
+WP_X = [-0.75, -0.25, -0.25, 0.25, 0.25, 1.25, 1.25, 0.75, 0.75, 1.25,
+        1.25, -0.75, -0.75, -0.25]
+WP_Y = [-1.5, -1.5, -0.5, -0.5, -1.5, -1.5, -1, -1, -0.5, -0.5, 0, 0,
+        -1.5, -1.5]
+
+
+@pytest.fixture(scope="module")
+def world():
+    """The reference driver's setup sequence (simulation.py:17-119)."""
+    m = Map(file_path=os.path.join(ASSET, "sim_map.png"), origin=[-1, -2],
+            resolution=0.005)
+    rp = ReferencePath(m, WP_X, WP_Y, 0.05, smoothing_distance=5,
+                       max_width=0.23, circular=True)
+    m.add_obstacles([Obstacle(cx=0.0, cy=0.0, radius=0.05),
+                     Obstacle(cx=-0.8, cy=-0.5, radius=0.08)])
+    car = BicycleModel(length=0.12, width=0.06, reference_path=rp, Ts=0.05)
+
+    N = 30
+    Q = np.diag([1.0, 0.0, 0.0])
+    R = np.diag([0.5, 0.0])
+    QN = np.diag([1.0, 0.0, 0.0])
+    v_max = 1.0
+    delta_max = 0.66
+    ay_max = 4.0
+    InputConstraints = {
+        "umin": np.array([0.0, -np.tan(delta_max) / car.length]),
+        "umax": np.array([v_max, np.tan(delta_max) / car.length]),
+    }
+    StateConstraints = {
+        "xmin": np.array([-np.inf, -np.inf, -np.inf]),
+        "xmax": np.array([np.inf, np.inf, np.inf]),
+    }
+    controller = MPC(car, N, Q, R, QN, StateConstraints, InputConstraints, ay_max)
+    rp.compute_speed_profile({"a_min": -0.1, "a_max": 0.5, "v_min": 0.0,
+                              "v_max": v_max, "ay_max": ay_max})
+    return dict(map=m, path=rp, car=car, mpc=controller)
+
+
+def test_map_attributes_and_transforms(world):
+    m = world["map"]
+    assert m.data.shape == (500, 500)
+    assert m.height == 500 and m.width == 500
+    px, py = m.w2m(-0.3, -1.1)
+    assert (px, py) == (140, 179)  # float64 floor convention (map.py:85-86)
+    x, y = m.m2w(px, py)
+    assert abs(x - (-0.2975)) < 1e-9 and abs(y - (-1.1025)) < 1e-9
+
+
+def test_reference_path_waypoints(world):
+    rp = world["path"]
+    assert rp.n_waypoints == 200
+    wp = rp.get_waypoint(5)
+    assert isinstance(wp.x, float) and isinstance(wp.kappa, float)
+    assert wp.ub > 0 > wp.lb
+    # circular indexing wraps
+    assert rp.get_waypoint(rp.n_waypoints + 3)._i == 3
+    # Waypoint subtraction = euclidean distance (reference_path.py:50-57)
+    d = rp.get_waypoint(6) - rp.get_waypoint(5)
+    assert 0.01 < d < 0.1
+    # speed profile populated
+    assert all(w.v_ref >= 0 for w in [rp.get_waypoint(i) for i in (0, 50, 150)])
+
+
+def test_update_path_constraints_api(world):
+    rp = world["path"]
+    sm = world["car"].safety_margin
+    ub, lb, cells = rp.update_path_constraints(1, 12, 2 * sm, sm)
+    assert ub.shape == (12,) and lb.shape == (12,)
+    assert (ub >= lb).all()
+    assert len(cells) == 12
+
+
+def test_two_call_loop(world):
+    """The README.md:72 workflow: u = mpc.get_control(); car.drive(u)."""
+    car = world["car"]
+    controller = world["mpc"]
+    xs, vs = [], []
+    for _ in range(12):
+        u = controller.get_control()
+        car.drive(u)
+        xs.append(car.temporal_state.x)
+        vs.append(u[0])
+    assert car.s > 0.2, "car did not advance"
+    assert max(vs) > 0.5, "car never sped up"
+    assert controller.current_prediction is not None
+    assert controller.infeasibility_counter == 0
+    assert len(controller.current_control) == 2 * controller.N
+
+
+def test_spatial_temporal_views(world):
+    car = world["car"]
+    ss = car.spatial_state
+    ts = car.temporal_state
+    assert len(ss) == 3
+    assert abs(ss.e_y) < 0.25
+    wp = car.current_waypoint
+    back = car.s2t(wp, ss)
+    assert abs(back.x - ts.x) < 0.05
+
+
+def test_lidar_model_api(world):
+    sensor = LidarModel(FoV=180, range=2.0, resolution=2)
+    assert sensor.n_measurements == 91
+    meas = sensor.scan(world["car"], world["map"])
+    assert meas.shape == (2, 91)
+    # on this walled track every beam eventually hits something within 2 m
+    assert (meas[1] <= 2.0 + 1e-6).all()
+    assert (meas[1] > 0.0).all()
+    assert meas[1].min() < 2.0  # at least one actual hit
+
+
+def test_lidar_map_update(world):
+    m = Map(file_path=os.path.join(ASSET, "sim_map.png"), origin=[-1, -2],
+            resolution=0.005)
+    rp = world["path"]
+    car = world["car"]
+    sensor = LidarModel(FoV=180, range=2.0, resolution=2)
+    sensor.scan(car, m)
+    before = m.data.sum()
+    sensor.update_map(car, m)
+    after = m.data.sum()
+    assert after <= before  # hits only add occupancy
+
+
+def test_failed_controller_raises(world):
+    """The reference exit(1)s after N-1 infeasible steps (MPC.py:218-220);
+    the API surfaces a RuntimeError instead."""
+    import jax.numpy as jnp
+
+    car = world["car"]
+    controller = world["mpc"]
+    saved = car._state
+    try:
+        car._state = car._state.replace(failed=jnp.asarray(True))
+        # failed flag latches; next get_control must raise
+        with pytest.raises(RuntimeError):
+            controller.get_control()
+    finally:
+        car._state = saved

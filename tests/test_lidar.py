@@ -1,0 +1,110 @@
+"""Lidar ray-march tests: geometry on synthetic grids, batching, map update."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multi_purpose_mpc_tpu.config import LidarConfig
+from multi_purpose_mpc_tpu.ops.grid import make_grid_map
+from multi_purpose_mpc_tpu.ops.lidar import (
+    beam_angles,
+    measurements,
+    scan,
+    update_grid_from_scan,
+)
+
+CFG = LidarConfig(FoV=180, range=1.0, resolution=5, n_ray_samples=256)
+
+
+def box_grid():
+    """3m x 3m room at 1cm resolution with a wall at x = 2.0."""
+    occ = np.ones((300, 300), np.float32)
+    occ[:, 200:204] = 0.0
+    return make_grid_map(occ, (0.0, 0.0), 0.01)
+
+
+def test_beam_angles_span_fov():
+    ang = np.asarray(beam_angles(CFG))
+    assert len(ang) == CFG.n_beams == 37
+    np.testing.assert_allclose(ang[0], -np.pi / 2, atol=1e-6)
+    np.testing.assert_allclose(ang[-1], np.pi / 2, atol=1e-6)
+
+
+def test_scan_measures_wall_distance():
+    g = box_grid()
+    out = scan(g, jnp.float32(1.5), jnp.float32(1.5), jnp.float32(0.0), CFG)
+    r = np.asarray(out.ranges)
+    ang = np.asarray(out.angles)
+    # beam straight ahead (+x): wall cells start at x=2.0, centers at 2.005;
+    # sensor cell center at 1.505 -> expected ~0.50
+    mid = np.argmin(np.abs(ang))
+    np.testing.assert_allclose(r[mid], 0.50, atol=0.02)
+    # beams at +-90 degrees see nothing within 1 m
+    np.testing.assert_allclose(r[0], CFG.range, atol=1e-6)
+    np.testing.assert_allclose(r[-1], CFG.range, atol=1e-6)
+    # oblique beam: distance to wall = 0.5 / cos(angle)
+    k = np.argmin(np.abs(ang - np.deg2rad(30)))
+    np.testing.assert_allclose(r[k], 0.5 / np.cos(ang[k]), atol=0.03)
+
+
+def test_scan_rotates_with_yaw():
+    g = box_grid()
+    out = scan(g, jnp.float32(1.5), jnp.float32(1.5),
+               jnp.float32(np.pi / 2), CFG)  # facing +y: wall is at -90 deg
+    r = np.asarray(out.ranges)
+    assert r[0] < 0.6  # -90 deg beam points at +x wall
+    assert r[-1] == CFG.range
+
+
+def test_scan_vmaps_over_fleet():
+    g = box_grid()
+    xs = jnp.asarray([1.5, 1.0, 0.5], jnp.float32)
+    ys = jnp.full(3, 1.5, jnp.float32)
+    psis = jnp.zeros(3, jnp.float32)
+    out = jax.vmap(lambda x, y, p: scan(g, x, y, p, CFG))(xs, ys, psis)
+    r = np.asarray(out.ranges)
+    assert r.shape == (3, CFG.n_beams)
+    mid = CFG.n_beams // 2
+    # farther from the wall -> longer forward range (capped at max)
+    assert r[0, mid] < r[1, mid] <= CFG.range
+
+
+def test_measurements_layout():
+    g = box_grid()
+    out = scan(g, jnp.float32(1.5), jnp.float32(1.5), jnp.float32(0.0), CFG)
+    m = np.asarray(measurements(out))
+    assert m.shape == (2, CFG.n_beams)
+    np.testing.assert_allclose(m[0], np.asarray(out.angles))
+
+
+def test_update_grid_marks_hits_occupied():
+    g = box_grid()
+    out = scan(g, jnp.float32(1.5), jnp.float32(1.5), jnp.float32(0.0), CFG)
+    fresh = make_grid_map(np.ones((300, 300), np.float32), (0.0, 0.0), 0.01)
+    updated = update_grid_from_scan(fresh, jnp.float32(1.5), jnp.float32(1.5),
+                                    jnp.float32(0.0), out, CFG)
+    occ = np.asarray(updated.occ)
+    n_hits = int(np.asarray(out.hit).sum())
+    assert n_hits > 0
+    assert (occ == 0).sum() > 0
+    # hit cells are on the wall column
+    ys, xs = np.where(occ == 0)
+    assert (xs >= 198).all() and (xs <= 205).all()
+
+
+def test_update_grid_clear_free():
+    """Refresh mode clears stale obstacles along observed-free rays."""
+    occ = np.ones((300, 300), np.float32)
+    occ[:, 200:204] = 0.0
+    g_real = make_grid_map(occ, (0.0, 0.0), 0.01)
+    out = scan(g_real, jnp.float32(1.5), jnp.float32(1.5), jnp.float32(0.0), CFG)
+
+    stale = occ.copy()
+    stale[149:152, 170:172] = 0.0  # phantom obstacle in front of the car
+    g_stale = make_grid_map(stale, (0.0, 0.0), 0.01)
+    updated = update_grid_from_scan(g_stale, jnp.float32(1.5), jnp.float32(1.5),
+                                    jnp.float32(0.0), out, CFG, clear_free=True)
+    occ2 = np.asarray(updated.occ)
+    # the 0-degree beam passes along y=1.505 (row 150) and clears it
+    assert occ2[150, 170] == 1.0
+    assert (occ2[:, 202] == 0.0).any()  # real wall still there
