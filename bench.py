@@ -75,6 +75,21 @@ def main():
     active = np.asarray(res.log.active)
     solve_rate = float(np.asarray(res.log.ok)[active].mean())
 
+    # single-car rate (the metric names both; single lane is latency-bound)
+    from multi_purpose_mpc_tpu.simulation import simulate_closed_loop
+
+    single_sim = SimConfig(max_steps=100)
+    r1 = simulate_closed_loop(grid, path, mpc_cfg, model_cfg, single_sim)
+    _ = float(np.asarray(r1.log.x.sum()))
+    t0 = time.perf_counter()
+    st0 = init_fleet(path, mpc_cfg.N, 1)
+    r1 = simulate_closed_loop(
+        grid, path, mpc_cfg, model_cfg, single_sim,
+        state0=jax.tree.map(lambda a: a[0], st0).replace(
+            e_y=jnp.float32(1e-9 * salt % 1e-3)))
+    _ = float(np.asarray(r1.log.x.sum()))
+    single_steps_per_sec = 100 / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "closed-loop MPC car-steps/sec (linearize+corridor+QP+rollout), batch 4096, obstacle-avoidance config",
         "value": round(car_steps_per_sec, 1),
@@ -85,6 +100,7 @@ def main():
             "scan_steps": STEPS,
             "wall_s": round(dt, 3),
             "qp_solve_rate": round(solve_rate, 4),
+            "single_car_steps_per_sec": round(single_steps_per_sec, 1),
             "device": str(jax.devices()[0]),
         },
     }))

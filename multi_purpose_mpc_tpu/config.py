@@ -197,8 +197,8 @@ class LidarConfig:
         return int(self.FoV / self.resolution + 1)
 
 
-def time_optimal_config(cfg: MPCConfig, t_weight: float = 10.0,
-                        r_v: float = 0.01) -> MPCConfig:
+def time_optimal_config(cfg: MPCConfig, t_weight: float = 100.0,
+                        r_v: float = 0.001) -> MPCConfig:
     """Time-optimal driving weights (reference README.md:48, Verschueren et
     al.): time is a state, so minimum-time driving is just a weight choice —
     zero running state cost, terminal weight on t, (near-)zero speed-tracking

@@ -43,15 +43,26 @@ def remove_small_holes(binary: np.ndarray, area_threshold: int = 5) -> np.ndarra
 
 
 def load_map_image(file_path: str, threshold_occupied: int = 100,
-                   hole_area_threshold: int = 5) -> np.ndarray:
+                   hole_area_threshold: int = 5,
+                   use_native: bool = True) -> np.ndarray:
     """PNG -> clean binary occupancy array (1=free, 0=occupied).
 
     Red channel -> binarize -> speckle removal, matching reference
-    map.py:61, 103-114.
+    map.py:61, 103-114.  The post-decode stage runs through the native C
+    pipeline (native/mapops.c) when available — the framework's own
+    equivalent of the reference's PIL/skimage native path — with the
+    scipy.ndimage implementation as fallback.
     """
     raw = np.array(Image.open(file_path))
     if raw.ndim == 3:
         raw = raw[:, :, 0]
+    if use_native:
+        from multi_purpose_mpc_tpu.utils import native
+
+        if native.available():
+            return native.preprocess_map(raw.astype(np.uint8),
+                                         threshold_occupied,
+                                         hole_area_threshold)
     binary = binarize(raw, threshold_occupied)
     return remove_small_holes(binary, hole_area_threshold)
 

@@ -1,0 +1,59 @@
+"""Real_Track scenario (reference: simulation.py:58-88): non-circular path on
+the real 867x767 map, plus manual boundary rasterization
+(reference_path.py:687-723)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multi_purpose_mpc_tpu.config import SimConfig, real_track_preset
+from multi_purpose_mpc_tpu.ops.grid import add_boundary
+from multi_purpose_mpc_tpu.ops.path import build_reference_path
+from multi_purpose_mpc_tpu.ops.speed_profile import compute_speed_profile
+from multi_purpose_mpc_tpu.simulation import simulate_closed_loop
+from multi_purpose_mpc_tpu.utils.maps import load_grid_map
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def real_track():
+    map_cfg, path_cfg, model_cfg, mpc_cfg, speed_cfg, _ = real_track_preset(
+        asset_dir=os.path.join(REPO, "assets", "maps"))
+    grid = load_grid_map(map_cfg)
+    path = build_reference_path(grid, path_cfg)
+    path = compute_speed_profile(path, speed_cfg)
+    return dict(grid=grid, path=path, model_cfg=model_cfg, mpc_cfg=mpc_cfg)
+
+
+def test_real_track_geometry(real_track):
+    grid = real_track["grid"]
+    path = real_track["path"]
+    assert grid.occ.shape == (767, 867)
+    assert not path.circular
+    assert path.n_wp > 100
+    assert float(path.length) > 30.0
+    # non-circular: horizon gather clamps at the end instead of wrapping
+    assert (np.asarray(path.ub) >= 0).all() and (np.asarray(path.lb) <= 0).all()
+
+
+def test_real_track_closed_loop_progress(real_track):
+    """The car makes substantial progress on the real map without failing
+    (a full traversal takes ~1100 steps; we bound runtime)."""
+    res = simulate_closed_loop(real_track["grid"], real_track["path"],
+                               real_track["mpc_cfg"], real_track["model_cfg"],
+                               SimConfig(max_steps=120))
+    assert float(res.final_state.s) > 4.0, float(res.final_state.s)
+    assert not bool(res.final_state.failed)
+    act = np.asarray(res.log.active)
+    assert np.asarray(res.log.ok)[act].mean() > 0.9
+
+
+def test_boundary_rasterization_world_coords(real_track):
+    """add_boundary blocks the drivable area along world-space segments
+    (reference: map.py:139-155, used by the Real_Track demo)."""
+    grid = real_track["grid"]
+    g2 = add_boundary(grid, [(-0.02, -2.72)], [(1.5, 1.0)], n_samples=512)
+    assert float(g2.occ.sum()) < float(grid.occ.sum())
