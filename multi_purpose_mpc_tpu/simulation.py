@@ -98,16 +98,22 @@ def _maybe_segments(grid: GridMap, path: PathData, cfg: MPCConfig,
 def simulate_closed_loop(grid: GridMap, path: PathData, cfg: MPCConfig,
                          model: ModelConfig, sim: SimConfig,
                          state0: Optional[CarState] = None) -> SimResult:
-    """Single-lane closed-loop rollout as one compiled scan."""
+    """Single-lane closed-loop rollout as one compiled scan.
+
+    Internally runs the batched step with batch 1 so a single car still gets
+    the fused Pallas solver on TPU (10x the per-lane XLA path's rate)."""
     if state0 is None:
         state0 = init_car_state(path, cfg.N)
     segs = _maybe_segments(grid, path, cfg, model, sim)
+    state_b = jax.tree.map(lambda a: a[None], state0)
 
     def step_fn(state, _):
-        return _sim_step(state, path, grid, cfg, model, segs)
+        return _sim_step_batched(state, path, grid, cfg, model, segs)
 
-    final, log = jax.lax.scan(step_fn, state0, None, length=sim.max_steps)
-    return SimResult(final_state=final, log=log)
+    final, log = jax.lax.scan(step_fn, state_b, None, length=sim.max_steps)
+    squeeze = lambda t: jax.tree.map(lambda a: jnp.squeeze(a, axis=1), t)
+    return SimResult(final_state=jax.tree.map(lambda a: jnp.squeeze(a, 0), final),
+                     log=squeeze(log))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "model", "sim"))
@@ -150,18 +156,26 @@ def simulate_lidar_loop(true_grid: GridMap, known_grid: GridMap,
     if state0 is None:
         state0 = init_car_state(path, cfg.N)
 
+    state0_b = jax.tree.map(lambda a: a[None], state0)
+
     def step_fn(carry, _):
         state, occ = carry
         kgrid = known_grid.replace(occ=occ)
-        s = lidar_scan(true_grid, state.x, state.y, state.psi, lidar)
-        kgrid = update_grid_from_scan(kgrid, state.x, state.y, state.psi, s,
+        x0, y0, psi0 = state.x[0], state.y[0], state.psi[0]
+        s = lidar_scan(true_grid, x0, y0, psi0, lidar)
+        kgrid = update_grid_from_scan(kgrid, x0, y0, psi0, s,
                                       lidar, clear_free=clear_free)
-        st, log = _sim_step(state, path, kgrid, cfg, model, segments=None)
+        # batch-1 batched step: same solver path as the other rollouts
+        st, log = _sim_step_batched(state, path, kgrid, cfg, model,
+                                    segments=None)
         return (st, kgrid.occ), log
 
-    (final, occ), log = jax.lax.scan(step_fn, (state0, known_grid.occ), None,
+    (final, occ), log = jax.lax.scan(step_fn, (state0_b, known_grid.occ), None,
                                      length=sim.max_steps)
-    return SimResult(final_state=final, log=log), known_grid.replace(occ=occ)
+    squeeze = lambda t: jax.tree.map(lambda a: jnp.squeeze(a, axis=1), t)
+    return (SimResult(final_state=jax.tree.map(lambda a: jnp.squeeze(a, 0), final),
+                      log=squeeze(log)),
+            known_grid.replace(occ=occ))
 
 
 def init_fleet(path: PathData, N: int, batch: int,
