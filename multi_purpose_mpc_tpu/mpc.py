@@ -120,25 +120,37 @@ def kappa_predictions(u_seq: jnp.ndarray, N: int) -> jnp.ndarray:
     return kappa_prev[idx]
 
 
-def mpc_pre_solve(state: CarState, path: PathData, grid: GridMap,
-                  cfg: MPCConfig, model: ModelConfig,
-                  segments: SegmentCandidates | None = None):
-    """Per-lane work before the QP solve: localization, frame transform,
-    corridor update, assembly (MPC.py:172-180).  vmappable."""
-    N = cfg.N
-
-    # --- localization + frame transform (MPC.py:172-177) ---
+def mpc_locate(state: CarState, path: PathData):
+    """Localization + frame transform (MPC.py:172-177).  vmappable."""
     wp_id = locate_waypoint(path, state.s)
     e_y, e_psi = t2s(path, wp_id, state.x, state.y, state.psi)
+    return wp_id, e_y, e_psi
 
-    # --- dynamic corridor (MPC.py:116-118) ---
+
+def mpc_corridor(wp_id, path: PathData, grid: GridMap, cfg: MPCConfig,
+                 model: ModelConfig,
+                 segments: SegmentCandidates | None) -> Corridor:
+    """Dynamic corridor for one lane (MPC.py:116-118).  vmappable."""
     sm = model.safety_margin
     if segments is not None:
-        corridor = corridor_from_segments(path, segments, wp_id + 1, N, sm)
-    else:
-        corridor = update_path_constraints(
-            grid, path, wp_id + 1, N, 2.0 * sm, sm,
-            n_samples=cfg.n_scan_samples, max_segments=cfg.max_segments)
+        return corridor_from_segments(path, segments, wp_id + 1, cfg.N, sm)
+    return update_path_constraints(
+        grid, path, wp_id + 1, cfg.N, 2.0 * sm, sm,
+        n_samples=cfg.n_scan_samples, max_segments=cfg.max_segments)
+
+
+def mpc_pre_solve(state: CarState, path: PathData, grid: GridMap,
+                  cfg: MPCConfig, model: ModelConfig,
+                  segments: SegmentCandidates | None = None,
+                  located=None, corridor: Corridor | None = None):
+    """Per-lane work before the QP solve: localization, frame transform,
+    corridor update, assembly (MPC.py:172-180).  vmappable.  ``located`` /
+    ``corridor`` can be supplied by a batched caller (e.g. the Pallas
+    corridor kernel)."""
+    N = cfg.N
+    wp_id, e_y, e_psi = located if located is not None else mpc_locate(state, path)
+    if corridor is None:
+        corridor = mpc_corridor(wp_id, path, grid, cfg, model, segments)
 
     kappa_pred = kappa_predictions(state.u_seq, N)
     qp = assemble_ltv_qp(path, cfg, model, wp_id, e_y, e_psi, kappa_pred, corridor)
@@ -211,12 +223,29 @@ def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
     ``cfg.solver_backend`` picks "pallas" (TPU kernel) or "xla"
     (vmapped stage-scan solver).
     """
-    pre = jax.vmap(lambda s: mpc_pre_solve(s, path, grid, cfg, model, segments))
-    qp, aux = pre(state)
-
     backend = cfg.solver_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    located = jax.vmap(lambda s: mpc_locate(s, path))(state)
+    corridor = None
+    if backend == "pallas" and segments is not None:
+        # fused selection kernel (static-grid fast path); dynamic grids keep
+        # the in-loop vmapped extraction below
+        from multi_purpose_mpc_tpu.ops.corridor_pallas import corridor_select_pallas
+
+        corridor = corridor_select_pallas(path, segments, located[0] + 1, cfg,
+                                          model.safety_margin)
+
+    if corridor is None:
+        corridor = jax.vmap(
+            lambda w: mpc_corridor(w, path, grid, cfg, model, segments)
+        )(located[0])
+
+    pre = jax.vmap(lambda s, loc, cor: mpc_pre_solve(
+        s, path, grid, cfg, model, segments, located=loc, corridor=cor))
+    qp, aux = pre(state, located, corridor)
+
     if backend == "pallas":
         from multi_purpose_mpc_tpu.ops.admm_pallas import solve_ltv_qp_pallas
 
