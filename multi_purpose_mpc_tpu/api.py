@@ -348,6 +348,29 @@ class BicycleModel:
                                   self._state.s)
         self._state = self._state.replace(wp_id=wp)
 
+    def set_pose(self, x: float, y: float, psi: float,
+                 s: Optional[float] = None) -> None:
+        """Inject an external pose estimate (the ROS-adaptation seam: the
+        real car's pose came from a localization topic, README.md:76).
+
+        Re-localizes on the path and refreshes the spatial state; ``s`` can
+        be given directly when the estimator tracks arc length itself.
+        """
+        st = self._state.replace(x=jnp.float32(x), y=jnp.float32(y),
+                                 psi=jnp.float32(psi))
+        if s is not None:
+            st = st.replace(s=jnp.float32(s))
+        else:
+            pd = self.reference_path.path_data
+            # nearest waypoint by euclidean distance, then arc length there
+            d2 = (pd.x - x) ** 2 + (pd.y - y) ** 2
+            wp = jnp.argmin(d2).astype(jnp.int32)
+            st = st.replace(s=pd.cum_len[wp], wp_id=wp)
+        wp = bike.locate_waypoint(self.reference_path.path_data, st.s)
+        e_y, e_psi = bike.t2s(self.reference_path.path_data, wp,
+                              st.x, st.y, st.psi)
+        self._state = st.replace(wp_id=wp, e_y=e_y, e_psi=e_psi)
+
     def drive(self, u) -> None:
         """Apply [v, delta] for one Ts (reference:
         spatial_bicycle_models.py:221-244)."""

@@ -143,6 +143,21 @@ def test_lidar_map_update(world):
     assert after <= before  # hits only add occupancy
 
 
+def test_set_pose_injection(world):
+    """External pose injection — the ROS localization seam (README.md:76)."""
+    car = world["car"]
+    rp = world["path"]
+    saved = car._state
+    try:
+        wp = rp.get_waypoint(50)
+        car.set_pose(wp.x + 0.01, wp.y, wp.psi + 0.05)
+        assert abs(car.wp_id - 50) <= 2
+        assert abs(car.spatial_state.e_psi - 0.05) < 0.02
+        assert abs(car.s - sum(rp.segment_lengths[:car.wp_id + 1])) < 0.1
+    finally:
+        car._state = saved
+
+
 def test_failed_controller_raises(world):
     """The reference exit(1)s after N-1 infeasible steps (MPC.py:218-220);
     the API surfaces a RuntimeError instead."""
