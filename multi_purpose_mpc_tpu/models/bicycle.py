@@ -70,6 +70,13 @@ def init_car_state(path: PathData, N: int, e_y: float = 0.0, e_psi: float = 0.0,
     x0 = path.x[wp] - e_y * jnp.sin(path.psi[wp])
     y0 = path.y[wp] + e_y * jnp.cos(path.psi[wp])
     f32 = jnp.float32
+    # Seed the replay cache with the local speed profile: a lane whose very
+    # first QP is infeasible (Monte-Carlo starts can spawn at corridor
+    # pinches) then replays gentle forward motion instead of freezing at
+    # v = 0 and dying after N-1 failures.  The reference seeds zeros
+    # (MPC.py:56) but only ever starts from the clean pose at waypoint 0.
+    u_seed = jnp.zeros((N, 2), f32).at[:, 0].set(
+        path.v_ref[gather_waypoint_index(path, wp, jnp.arange(N))])
     return CarState(
         x=jnp.asarray(x0, f32),
         y=jnp.asarray(y0, f32),
@@ -78,7 +85,7 @@ def init_car_state(path: PathData, N: int, e_y: float = 0.0, e_psi: float = 0.0,
         wp_id=wp,
         e_y=jnp.asarray(e_y, f32),
         e_psi=jnp.asarray(e_psi, f32),
-        u_seq=jnp.zeros((N * 2,), f32),
+        u_seq=u_seed.reshape(-1),
         solver=init_solver_carry(N),
         infeasibility_count=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False, bool),
