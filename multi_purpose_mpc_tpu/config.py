@@ -102,6 +102,11 @@ class SolverConfig:
     # feasibility + optimality gap, not elementwise solution match.
     eps_abs: float = 1e-3
     eps_rel: float = 1e-3
+    # Lane-tile width for the fused TPU kernels (multiple of 128).  128 is
+    # the VMEM-safe setting: at N=30 the ADMM kernel plus XLA's scoped
+    # allocations around the custom call sit just under the 16 MB budget —
+    # 256+ lanes OOM scoped vmem at batch 4096 (measured).
+    kernel_lanes: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

@@ -235,7 +235,8 @@ def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
         from multi_purpose_mpc_tpu.ops.corridor_pallas import corridor_select_pallas
 
         corridor = corridor_select_pallas(path, segments, located[0] + 1, cfg,
-                                          model.safety_margin)
+                                          model.safety_margin,
+                                          lanes=cfg.solver.kernel_lanes)
 
     if corridor is None:
         corridor = jax.vmap(
@@ -249,7 +250,8 @@ def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
     if backend == "pallas":
         from multi_purpose_mpc_tpu.ops.admm_pallas import solve_ltv_qp_pallas
 
-        sol = solve_ltv_qp_pallas(qp, state.solver, cfg.solver)
+        sol = solve_ltv_qp_pallas(qp, state.solver, cfg.solver,
+                                  lanes=cfg.solver.kernel_lanes)
     else:
         sol = jax.vmap(lambda q, w: solve_ltv_qp(q, cfg.solver, warm=w))(
             qp, state.solver)
