@@ -243,16 +243,28 @@ def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
             lambda w: mpc_corridor(w, path, grid, cfg, model, segments)
         )(located[0])
 
-    pre = jax.vmap(lambda s, loc, cor: mpc_pre_solve(
-        s, path, grid, cfg, model, segments, located=loc, corridor=cor))
-    qp, aux = pre(state, located, corridor)
-
     if backend == "pallas":
-        from multi_purpose_mpc_tpu.ops.admm_pallas import solve_ltv_qp_pallas
+        # fully fused path: raw horizon gathers straight into the kernel —
+        # assembly, packing, and the ADMM loop all happen in VMEM
+        from multi_purpose_mpc_tpu.ops.admm_pallas import solve_mpc_qp_fused
 
-        sol = solve_ltv_qp_pallas(qp, state.solver, cfg.solver,
-                                  lanes=cfg.solver.kernel_lanes)
+        wp_id, e_y, e_psi = located
+        offs = jnp.arange(cfg.N)
+        idxs = jax.vmap(lambda w: gather_waypoint_index(path, w, offs))(wp_id)
+        v_ref = path.v_ref[idxs]
+        kappa_ref = path.kappa[idxs]
+        delta_s = path.seg_dist[idxs]
+        x0 = jnp.stack([e_y, e_psi, jnp.zeros_like(e_y)], axis=-1)
+        kp = jax.vmap(lambda u: kappa_predictions(u, cfg.N))(state.u_seq)
+        sol = solve_mpc_qp_fused(v_ref, kappa_ref, delta_s,
+                                 corridor.lb, corridor.ub, x0, kp,
+                                 state.solver, cfg.solver, cfg, model,
+                                 lanes=cfg.solver.kernel_lanes)
+        aux = (wp_id, e_y, e_psi, corridor)
     else:
+        pre = jax.vmap(lambda s, loc, cor: mpc_pre_solve(
+            s, path, grid, cfg, model, segments, located=loc, corridor=cor))
+        qp, aux = pre(state, located, corridor)
         sol = jax.vmap(lambda q, w: solve_ltv_qp(q, cfg.solver, warm=w))(
             qp, state.solver)
 

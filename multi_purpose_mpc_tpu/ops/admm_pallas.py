@@ -96,22 +96,34 @@ def _mm_ll(A_, B_):
         for i in range(a)])
 
 
-def _make_kernel(N: int, cfg: SolverConfig):
-    """Builds the kernel body for a fixed horizon + solver config."""
+def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
+    """Builds the kernel body for a fixed horizon + solver config.
+
+    ``build``: optional in-kernel QP constructor.  When given, the kernel's
+    first ``n_raw`` refs carry raw per-stage data and ``build(raw_arrays)``
+    returns ``(AB, beq, Pd, qv, lw, uw)`` — the fused-assembly path that
+    skips materializing/packing the LTVQP tensors in HBM entirely.
+    """
     sigma = cfg.sigma
     alpha = cfg.alpha
     eq_scale = cfg.rho_eq_scale
 
-    def kernel(AB_ref, beq_ref, Pd_ref, qv_ref, lw_ref, uw_ref,
-               W0_ref, Zw0_ref, Yeq0_ref, Yw0_ref, rho0_ref,
-               W_out, Zw_out, Yeq_out, Yw_out, rho_out, rp_out, rd_out,
-               ):
-        AB = AB_ref[:]  # (N, 3, 5, L) stage [A_n | B_n]
-        beq = beq_ref[:]  # (N+1, 3, L)
-        Pd = Pd_ref[:]  # (N+1, 5, L) diagonal cost (u-slots of stage N = 0)
-        qv = qv_ref[:]  # (N+1, 5, L) linear cost
-        lw = lw_ref[:]  # (N+1, 5, L)
-        uw = uw_ref[:]  # (N+1, 5, L)
+    def kernel(*refs):
+        if build is None:
+            (AB_ref, beq_ref, Pd_ref, qv_ref, lw_ref, uw_ref,
+             W0_ref, Zw0_ref, Yeq0_ref, Yw0_ref, rho0_ref,
+             W_out, Zw_out, Yeq_out, Yw_out, rho_out, rp_out, rd_out) = refs
+            AB = AB_ref[:]  # (N, 3, 5, L) stage [A_n | B_n]
+            beq = beq_ref[:]  # (N+1, 3, L)
+            Pd = Pd_ref[:]  # (N+1, 5, L) diagonal cost (u-slots of stage N=0)
+            qv = qv_ref[:]  # (N+1, 5, L) linear cost
+            lw = lw_ref[:]  # (N+1, 5, L)
+            uw = uw_ref[:]  # (N+1, 5, L)
+        else:
+            raw = refs[:n_raw]
+            (W0_ref, Zw0_ref, Yeq0_ref, Yw0_ref, rho0_ref,
+             W_out, Zw_out, Yeq_out, Yw_out, rho_out, rp_out, rd_out) =                 refs[n_raw:]
+            AB, beq, Pd, qv, lw, uw = build(*[r[:] for r in raw])
 
         W = W0_ref[:]  # (N+1, 5, L) primal (x_n, u_n)
         Zw = jnp.clip(Zw0_ref[:], lw, uw)
@@ -448,6 +460,190 @@ def solve_ltv_qp_pallas(qp: LTVQP, warm: SolverCarry, cfg: SolverConfig,
     eps_d = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
         jnp.max(jnp.abs(qp.q_x[:B]), axis=(-2, -1)),
         jnp.max(jnp.abs(qp.q_u[:B]), axis=(-2, -1)))
+    converged = (rp <= eps_p) & (rd <= eps_d)
+    status = jnp.where(~finite, admm_mod.DIVERGED,
+                       jnp.where(converged, admm_mod.SOLVED,
+                                 admm_mod.MAX_ITER)).astype(jnp.int32)
+
+    fresh = SolverCarry(
+        X=jnp.zeros_like(X), U=jnp.zeros_like(U),
+        Zx=jnp.zeros_like(X), Zu=jnp.zeros_like(U),
+        Yeq=jnp.zeros_like(Yeqb), Yx=jnp.zeros_like(X),
+        Yu=jnp.zeros_like(U), rho=jnp.full_like(rho_b, cfg.rho))
+    carry = SolverCarry(X=X, U=U, Zx=Zwb[..., :NX], Zu=Zwb[..., :-1, NX:],
+                        Yeq=Yeqb, Yx=Ywb[..., :NX], Yu=Ywb[..., :-1, NX:],
+                        rho=rho_b)
+    carry = jax.tree.map(
+        lambda a, z: jnp.where(
+            finite.reshape((-1,) + (1,) * (a.ndim - 1)) if a.ndim > 1
+            else finite, a, z),
+        carry, fresh)
+    return LTVSolution(X=X, U=U, status=status, r_prim=rp, r_dual=rd,
+                       carry=carry)
+
+
+# ---------------------------------------------------------------------------
+# Fused-assembly entry point: raw horizon data in, solution out
+# ---------------------------------------------------------------------------
+
+def _make_builder(N: int, mpc_cfg, model_cfg):
+    """In-kernel QP constructor from raw per-stage data (the fused analogue
+    of mpc.assemble_ltv_qp + the host-side packing; MPC.py:61-155)."""
+    Q0, Q1, Q2 = (float(v) for v in mpc_cfg.Q)
+    QN0, QN1, QN2 = (float(v) for v in mpc_cfg.QN)
+    R0, R1 = (float(v) for v in mpc_cfg.R)
+    xmin = tuple(float(v) for v in mpc_cfg.xmin)
+    xmax = tuple(float(v) for v in mpc_cfg.xmax)
+    v_min = float(mpc_cfg.v_min)
+    v_max = float(mpc_cfg.v_max)
+    ay_max = float(mpc_cfg.ay_max)
+    kmax = float(mpc_cfg.kappa_max(model_cfg.length))
+    inf = float(jnp.inf)
+
+    def build(v, k, ds, lbc, ubc, x0, kp):
+        # v/k/ds: (N, L) horizon v_ref / kappa_ref / delta_s
+        # lbc/ubc: (N, L) corridor bounds for x_1..x_N
+        # x0: (3, L) measured spatial state; kp: (N, L) kappa predictions
+        L = v.shape[-1]
+        dt = v.dtype
+        zN = jnp.zeros_like(v)
+        oN = jnp.ones_like(v)
+
+        def full(val, shape):
+            return jnp.full(shape, val, dt)
+
+        # stage matrices [A_n | B_n] (spatial_bicycle_models.py:404-417)
+        r0 = jnp.stack([oN, ds, zN, zN, zN], axis=1)
+        r1 = jnp.stack([-(k * k) * ds, oN, zN, zN, ds], axis=1)
+        r2 = jnp.stack([-(k / v) * ds, zN, oN, -ds / (v * v), zN], axis=1)
+        AB = jnp.stack([r0, r1, r2], axis=1)  # (N, 3, 5, L)
+
+        # equality rhs: uq = B ur - f = (0, ds k, -2 ds / v)
+        uq = jnp.stack([zN, ds * k, -2.0 * ds / v], axis=1)  # (N, 3, L)
+        beq = jnp.concatenate([-x0[None], uq], axis=0)  # (N+1, 3, L)
+
+        # diagonal cost
+        Pd_body = jnp.stack([full(Q0, (N, L)), full(Q1, (N, L)),
+                             full(Q2, (N, L)), full(R0, (N, L)),
+                             full(R1, (N, L))], axis=1)
+        Pd_N = jnp.stack([full(QN0, (1, L)), full(QN1, (1, L)),
+                          full(QN2, (1, L)), full(0.0, (1, L)),
+                          full(0.0, (1, L))], axis=1)
+        Pd = jnp.concatenate([Pd_body, Pd_N], axis=0)  # (N+1, 5, L)
+
+        # linear cost: e_y center-line reference + input references
+        ctr = 0.5 * (lbc + ubc)  # (N, L) for stages 1..N
+        ey_col = jnp.concatenate([full(0.0, (1, L)), -Q0 * ctr[:-1],
+                                  -QN0 * ctr[-1:]], axis=0)  # (N+1, L)
+        zc = jnp.zeros((N + 1, L), dt)
+        qu_v = jnp.concatenate([-R0 * v, full(0.0, (1, L))], axis=0)
+        qu_k = jnp.concatenate([-R1 * k, full(0.0, (1, L))], axis=0)
+        qv = jnp.stack([ey_col, zc, zc, qu_v, qu_k], axis=1)  # (N+1, 5, L)
+
+        # bounds: e_y pinned at stage 0, corridor rows after; dynamic v cap
+        l_ey = jnp.concatenate([x0[0:1], lbc], axis=0)  # (N+1, L)
+        u_ey = jnp.concatenate([x0[0:1], ubc], axis=0)
+        vmax_dyn = jnp.minimum(v_max, jnp.sqrt(ay_max / (jnp.abs(kp) + 1e-12)))
+        l_v = jnp.concatenate([full(v_min, (N, L)), full(-inf, (1, L))], axis=0)
+        u_v = jnp.concatenate([vmax_dyn, full(inf, (1, L))], axis=0)
+        l_k = jnp.concatenate([full(-kmax, (N, L)), full(-inf, (1, L))], axis=0)
+        u_k = jnp.concatenate([full(kmax, (N, L)), full(inf, (1, L))], axis=0)
+        lw = jnp.stack([l_ey, full(xmin[1], (N + 1, L)),
+                        full(xmin[2], (N + 1, L)), l_v, l_k], axis=1)
+        uw = jnp.stack([u_ey, full(xmax[1], (N + 1, L)),
+                        full(xmax[2], (N + 1, L)), u_v, u_k], axis=1)
+        return AB, beq, Pd, qv, lw, uw
+
+    return build
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "model_cfg",
+                                              "lanes", "interpret"))
+def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
+                       warm: SolverCarry, cfg: SolverConfig, mpc_cfg,
+                       model_cfg, lanes: int = DEFAULT_LANES,
+                       interpret: bool = False) -> LTVSolution:
+    """Fully fused control-QP solve: assembly + ADMM in one kernel.
+
+    Inputs carry a leading batch axis B: ``v_ref/kappa_ref/delta_s`` (B, N)
+    gathered horizon data, ``lb_c/ub_c`` (B, N) corridor bounds, ``x0``
+    (B, 3) measured spatial state, ``kappa_pred`` (B, N).  Compared to
+    ``solve_ltv_qp_pallas`` this skips materializing the (B, N, 3, 5)-sized
+    LTVQP tensors in HBM and the host-side packing transposes.
+    """
+    N = v_ref.shape[-1]
+    B = v_ref.shape[0]
+    pad = (-B) % lanes
+    if pad:
+        padrep = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred = (
+            padrep(a) for a in (v_ref, kappa_ref, delta_s, lb_c, ub_c, x0,
+                                kappa_pred))
+        warm = jax.tree.map(padrep, warm)
+    Bp = B + pad
+
+    t = lambda a: jnp.transpose(a, (1, 0))
+    raw = (t(v_ref), t(kappa_ref), t(delta_s), t(lb_c), t(ub_c),
+           t(x0), t(kappa_pred))
+    W0, Zw0, Yeq0, Yw0, rho0 = _pack_carry(warm)
+
+    build = _make_builder(N, mpc_cfg, model_cfg)
+    kernel = _make_kernel(N, cfg, build=build, n_raw=7)
+
+    def spec(*block_shape):
+        ndim = len(block_shape)
+        return pl.BlockSpec(block_shape + (lanes,),
+                            (lambda i, _nd=ndim: tuple([0] * _nd) + (i,)),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(Bp // lanes,),
+        in_specs=[spec(N), spec(N), spec(N), spec(N), spec(N),
+                  spec(NX), spec(N),
+                  spec(N + 1, NW), spec(N + 1, NW), spec(N + 1, NX),
+                  spec(N + 1, NW), spec(1,)],
+        out_specs=[spec(N + 1, NW), spec(N + 1, NW), spec(N + 1, NX),
+                   spec(N + 1, NW), spec(1,), spec(1,), spec(1,)],
+    )
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct((N + 1, NW, Bp), f32),
+        jax.ShapeDtypeStruct((N + 1, NW, Bp), f32),
+        jax.ShapeDtypeStruct((N + 1, NX, Bp), f32),
+        jax.ShapeDtypeStruct((N + 1, NW, Bp), f32),
+        jax.ShapeDtypeStruct((1, Bp), f32),
+        jax.ShapeDtypeStruct((1, Bp), f32),
+        jax.ShapeDtypeStruct((1, Bp), f32),
+    ]
+    W, Zw, Yeq, Yw, rho, rp, rd = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        interpret=interpret,
+    )(*raw, W0, Zw0, Yeq0, Yw0, rho0)
+
+    tb = lambda a: jnp.transpose(a, (2, 0, 1))[:B]
+    Wb = tb(W)
+    Zwb = tb(Zw)
+    Yeqb = tb(Yeq)
+    Ywb = tb(Yw)
+    X = Wb[..., :NX]
+    U = Wb[..., :-1, NX:]
+    rp = rp[0, :B]
+    rd = rd[0, :B]
+    rho_b = rho[0, :B]
+
+    finite = jnp.isfinite(Wb).all(axis=(-2, -1))
+    eps_p = cfg.eps_abs + cfg.eps_rel * jnp.max(jnp.abs(Wb), axis=(-2, -1))
+    # |q| bound from the raw data (q rows are -Q*ctr / -R*refs)
+    Q0 = float(mpc_cfg.Q[0])
+    QN0 = float(mpc_cfg.QN[0])
+    R0, R1 = (float(x) for x in mpc_cfg.R)
+    ctr = 0.5 * (lb_c[:B] + ub_c[:B])
+    qmax = jnp.maximum(
+        jnp.max(jnp.abs(ctr), axis=-1) * max(Q0, QN0),
+        jnp.maximum(jnp.max(jnp.abs(v_ref[:B]), axis=-1) * R0,
+                    jnp.max(jnp.abs(kappa_ref[:B]), axis=-1) * R1))
+    eps_d = cfg.eps_abs + cfg.eps_rel * qmax
     converged = (rp <= eps_p) & (rd <= eps_d)
     status = jnp.where(~finite, admm_mod.DIVERGED,
                        jnp.where(converged, admm_mod.SOLVED,

@@ -85,3 +85,61 @@ def test_kernel_nan_input_flags_diverged(batch):
     assert (np.asarray(out.status[1:]) != admm.DIVERGED).all()
     # and its carry is reset so the next solve starts clean
     assert np.isfinite(np.asarray(out.carry.X[0])).all()
+
+
+def test_fused_assembly_matches_xla_pipeline(sim_track):
+    """The fully fused kernel (in-kernel assembly + ADMM) must match the
+    XLA assemble + solve pipeline on real scenario states."""
+    import jax.numpy as jnp
+
+    from multi_purpose_mpc_tpu.mpc import (
+        kappa_predictions,
+        mpc_corridor,
+        mpc_locate,
+        mpc_pre_solve,
+    )
+    from multi_purpose_mpc_tpu.models.bicycle import init_car_state
+    from multi_purpose_mpc_tpu.ops.admm_pallas import solve_mpc_qp_fused
+    from multi_purpose_mpc_tpu.ops.constraints import extract_all_segments
+    from multi_purpose_mpc_tpu.ops.path import gather_waypoint_index
+    from multi_purpose_mpc_tpu.ops.speed_profile import compute_speed_profile
+
+    path = compute_speed_profile(sim_track["path"], sim_track["speed_cfg"])
+    grid = sim_track["grid"]
+    cfg = sim_track["mpc_cfg"]
+    model = sim_track["model_cfg"]
+    sm = model.safety_margin
+    segs = extract_all_segments(grid, path, 2 * sm,
+                                n_samples=cfg.n_scan_samples,
+                                max_segments=cfg.max_segments)
+
+    B = 8
+    states = jax.vmap(
+        lambda i: init_car_state(path, cfg.N, e_y=0.005 * i, wp_id=13 * i)
+    )(jnp.arange(B))
+    located = jax.vmap(lambda s: mpc_locate(s, path))(states)
+    corridor = jax.vmap(
+        lambda w: mpc_corridor(w, path, grid, cfg, model, segs))(located[0])
+
+    qp, _ = jax.vmap(lambda s, loc, cor: mpc_pre_solve(
+        s, path, grid, cfg, model, segs, located=loc, corridor=cor))(
+        states, located, corridor)
+    ref = jax.vmap(lambda q, w: solve_ltv_qp(q, cfg.solver, warm=w))(
+        qp, states.solver)
+
+    wp_id, e_y, e_psi = located
+    idxs = jax.vmap(lambda w: gather_waypoint_index(path, w, jnp.arange(cfg.N))
+                    )(wp_id)
+    x0 = jnp.stack([e_y, e_psi, jnp.zeros_like(e_y)], -1)
+    kp = jax.vmap(lambda u: kappa_predictions(u, cfg.N))(states.u_seq)
+    out = solve_mpc_qp_fused(path.v_ref[idxs], path.kappa[idxs],
+                             path.seg_dist[idxs], corridor.lb, corridor.ub,
+                             x0, kp, states.solver, cfg.solver, cfg, model,
+                             lanes=8, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(out.status),
+                                  np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.r_prim),
+                               np.asarray(ref.r_prim), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.U[:, 0, 0]),
+                               np.asarray(ref.U[:, 0, 0]), atol=3e-3)
