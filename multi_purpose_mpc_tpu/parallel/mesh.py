@@ -36,6 +36,67 @@ def fleet_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (FLEET_AXIS,))
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host seam: guarded ``jax.distributed.initialize``.
+
+    Call once per process before any backend use on a multi-host fleet
+    (TPU pod slice / multi-process CPU).  Safe to call on a single host —
+    it no-ops unless multi-process coordinates are available, either as
+    arguments or auto-detectable from the environment (TPU pod metadata, or
+    the ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``
+    variables jax itself reads).  Returns True iff distributed runtime was
+    (or already is) initialized.
+
+    Tested seam status: mesh/batch logic below is unit-tested; an actual
+    multi-host run needs pod hardware this environment does not have.
+    """
+    import os
+
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:  # already initialized
+        return True
+    explicit = coordinator_address is not None
+    env = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not explicit and env is None:
+        return False  # single-process: nothing to do
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def global_fleet_mesh() -> Mesh:
+    """Process-count-aware mesh: one fleet axis over ALL global devices.
+
+    Under ``jax.distributed`` this spans hosts — lanes shard across every
+    chip in the slice, ICI carries the (rare) metric all-reduce inside a
+    slice and DCN across slices.  Identical to :func:`fleet_mesh` on one
+    host, by construction.
+    """
+    return fleet_mesh(jax.devices())
+
+
+def local_lane_slice(global_batch: int, process_index: int,
+                     process_count: int) -> slice:
+    """Which contiguous lane block process ``process_index`` owns.
+
+    Pure logic (unit-testable without multi-host hardware): lanes divide
+    evenly across processes in device order, matching how a 1-D mesh over
+    ``jax.devices()`` lays out the leading batch axis.  ``global_batch``
+    must already be a multiple of ``process_count`` (use
+    :func:`round_up_batch` with the global mesh first).
+    """
+    if global_batch % process_count:
+        raise ValueError(
+            f"global_batch {global_batch} not divisible by process_count "
+            f"{process_count}; round_up_batch first")
+    per = global_batch // process_count
+    return slice(process_index * per, (process_index + 1) * per)
+
+
 def fleet_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension across the fleet axis."""
     return NamedSharding(mesh, P(FLEET_AXIS))

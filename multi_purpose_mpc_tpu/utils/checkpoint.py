@@ -57,4 +57,4 @@ def load_fleet_state_orbax(dirpath: str, like: CarState, step: int) -> CarState:
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.join(os.path.abspath(dirpath), f"step_{step}"),
-                         args=ocp.args.StandardRestore(like))
+                         target=like)

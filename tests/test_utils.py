@@ -48,6 +48,33 @@ def test_checkpoint_roundtrip_resumes_identically(sim_track, tmp_path):
                                   np.asarray(resumed.log.x))
 
 
+def test_orbax_checkpoint_roundtrip(sim_track, tmp_path):
+    """The orbax backend round-trips the fleet pytree bitwise (VERDICT weak #7)."""
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    from multi_purpose_mpc_tpu.utils.checkpoint import (
+        load_fleet_state_orbax, save_fleet_state_orbax)
+
+    scenario = dict(sim_track,
+                    path=compute_speed_profile(sim_track["path"],
+                                               sim_track["speed_cfg"]))
+    fleet0 = init_fleet(scenario["path"], scenario["mpc_cfg"].N, batch=3)
+    mid = _rollout(scenario, fleet0, 6).final_state
+
+    save_fleet_state_orbax(str(tmp_path / "orbax"), mid, step=6)
+    restored = load_fleet_state_orbax(str(tmp_path / "orbax"), like=mid, step=6)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                            np.asarray(b)),
+                 mid, restored)
+
+    # resuming from the orbax checkpoint == continuing the original run
+    cont = _rollout(scenario, mid, 4)
+    resumed = _rollout(scenario, restored, 4)
+    np.testing.assert_array_equal(np.asarray(cont.log.x),
+                                  np.asarray(resumed.log.x))
+
+
 def test_profiling_helpers():
     f = jax.jit(lambda x: (x * 2).sum())
     x = jnp.ones((64, 64))
@@ -55,6 +82,59 @@ def test_profiling_helpers():
     assert t > 0
     stages = time_stages({"double": lambda: f(x)}, warmup=1, iters=2)
     assert stages["double"] > 0
+
+
+def test_profiling_fence_agrees_with_bench_style_timing(sim_track):
+    """`timeit` (host-transfer fence) matches a manual bench.py-style
+    measurement of the same jitted step, so time_stages is trustworthy on
+    the remote-execution platform (VERDICT weak #6)."""
+    import time
+
+    scenario = dict(sim_track,
+                    path=compute_speed_profile(sim_track["path"],
+                                               sim_track["speed_cfg"]))
+    fleet0 = init_fleet(scenario["path"], scenario["mpc_cfg"].N, batch=8)
+
+    def run():
+        return _rollout(scenario, fleet0, 5).log.x
+
+    t_helper = timeit(run, warmup=1, iters=3)
+
+    run()  # warm
+    manual = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        _ = float(np.asarray(out.sum()))  # bench.py's fence
+        manual.append(time.perf_counter() - t0)
+    t_manual = sorted(manual)[1]
+
+    # Same order of magnitude: the dispatch-time artifact this guards
+    # against is a ~1000x under-measurement, not a 3x jitter.
+    assert t_helper > t_manual / 3
+    assert t_helper < t_manual * 3 + 0.05
+
+
+def test_multihost_seam_logic():
+    """Process-count-aware lane partition + guarded init (VERDICT next #10)."""
+    import pytest
+
+    from multi_purpose_mpc_tpu.parallel.mesh import (
+        global_fleet_mesh, init_distributed, local_lane_slice)
+
+    # lane partition logic, pure
+    assert local_lane_slice(4096, 0, 4) == slice(0, 1024)
+    assert local_lane_slice(4096, 3, 4) == slice(3072, 4096)
+    with pytest.raises(ValueError):
+        local_lane_slice(10, 0, 4)
+
+    # guarded init: no coordinator configured on this box -> no-op False
+    assert init_distributed() is False
+
+    # global mesh covers every device with the fleet axis
+    mesh = global_fleet_mesh()
+    assert mesh.axis_names == ("fleet",)
+    assert mesh.devices.size == len(jax.devices())
 
 
 def test_render_outputs(sim_track, tmp_path):
