@@ -475,10 +475,16 @@ class MPC:
 class LidarModel:
     """Lidar sensor (reference: lidar_model.py:10-129)."""
 
-    def __init__(self, FoV: float, range: float, resolution: float):
+    def __init__(self, FoV: float, range: float, resolution: float,
+                 conservative: bool = False):
+        """``conservative=True`` selects the exact corner-span scan semantics
+        of the reference (lidar_model.py:75-108) — every beam an occupied
+        cell's angular span touches is updated; the default fast mode
+        point-samples each ray (see ops/lidar.scan)."""
         self.FoV = FoV
         self.range = range
         self.resolution = resolution
+        self.conservative = conservative
         self.config = LidarConfig(FoV=FoV, range=range, resolution=resolution)
         self.n_measurements = self.config.n_beams
         angles = np.asarray(lidar_ops.beam_angles(self.config))
@@ -491,7 +497,7 @@ class LidarModel:
         ``car`` needs x/y/psi attributes (TemporalState or BicycleModel)."""
         pose = car.temporal_state if hasattr(car, "temporal_state") else car
         out = _scan_jit(map.grid, jnp.float32(pose.x), jnp.float32(pose.y),
-                        jnp.float32(pose.psi), self.config)
+                        jnp.float32(pose.psi), self.config, self.conservative)
         self._last_scan = out
         self.measurements = np.asarray(lidar_ops.measurements(out))
         return self.measurements
@@ -519,6 +525,6 @@ class LidarModel:
             ax.plot((pose.x, ex[i]), (pose.y, ey[i]), c="#5DADE2", lw=0.5)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _scan_jit(grid, x, y, psi, cfg: LidarConfig):
-    return lidar_ops.scan(grid, x, y, psi, cfg)
+@functools.partial(jax.jit, static_argnames=("cfg", "conservative"))
+def _scan_jit(grid, x, y, psi, cfg: LidarConfig, conservative: bool = False):
+    return lidar_ops.scan(grid, x, y, psi, cfg, conservative=conservative)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from multi_purpose_mpc_tpu.config import LidarConfig
-from multi_purpose_mpc_tpu.ops.grid import GridMap, m2w, w2m
+from multi_purpose_mpc_tpu.ops.grid import GridMap, lookup, m2w, w2m
 from multi_purpose_mpc_tpu.ops.rays import first_occupied, sample_line
 
 
@@ -45,27 +45,87 @@ def beam_angles(cfg: LidarConfig) -> jnp.ndarray:
     return jnp.linspace(-half, half, cfg.n_beams, dtype=jnp.float32)
 
 
-def scan(grid: GridMap, x, y, psi, cfg: LidarConfig) -> LidarScan:
-    """One scan from pose (x, y, psi); vmap over a fleet for batched scans."""
+def scan(grid: GridMap, x, y, psi, cfg: LidarConfig,
+         conservative: bool = False) -> LidarScan:
+    """One scan from pose (x, y, psi); vmap over a fleet for batched scans.
+
+    ``conservative=False`` (default, fast): first occupied cell among K point
+    samples along each ray — 1 grid lookup per sample.
+
+    ``conservative=True``: exact reference corner-span semantics.  The
+    reference updates beam b with occupied cell c iff b's angle lies in the
+    angular span of c's 9 corner/edge/center points (lidar_model.py:75-103);
+    for a convex cell square not containing the sensor, that span is exactly
+    the set of ray directions intersecting the square, so the test reduces
+    to  perp_dist(cell_center, ray) <= (|n_x| + |n_y|)/2 * resolution  with
+    n the ray normal (the square's support function).  We evaluate it over
+    the 3x3 neighborhood of every ray sample (sample spacing < 1 px covers
+    every intersected cell) and min-update with the distance to the cell
+    center, matching the reference's measurement (:91-108) including
+    corner-grazing hits the point-sampled march can miss.  9 lookups per
+    sample; use for fidelity-critical scans.
+    """
     angles = beam_angles(cfg)
     # sensor at the car cell's center (lidar_model.py:54-56)
     px, py = w2m(grid, x, y)
     cx, cy = m2w(grid, px, py)
 
     world_ang = angles + psi
-    ex = cx + cfg.range * jnp.cos(world_ang)
-    ey = cy + cfg.range * jnp.sin(world_ang)
+    ux = jnp.cos(world_ang)
+    uy = jnp.sin(world_ang)
+    ex = cx + cfg.range * ux
+    ey = cy + cfg.range * uy
 
     samples = sample_line(grid, jnp.broadcast_to(cx, world_ang.shape),
                           jnp.broadcast_to(cy, world_ang.shape),
                           ex, ey, cfg.n_ray_samples)
-    hit, idx = first_occupied(samples)
 
-    hpx = jnp.take_along_axis(samples.px, idx[:, None], axis=-1)[:, 0]
-    hpy = jnp.take_along_axis(samples.py, idx[:, None], axis=-1)[:, 0]
-    hx, hy = m2w(grid, hpx, hpy)
-    dist = jnp.hypot(hx - cx, hy - cy)
-    ranges = jnp.where(hit, jnp.minimum(dist, cfg.range), cfg.range)
+    if not conservative:
+        hit, idx = first_occupied(samples)
+        hpx = jnp.take_along_axis(samples.px, idx[:, None], axis=-1)[:, 0]
+        hpy = jnp.take_along_axis(samples.py, idx[:, None], axis=-1)[:, 0]
+        hx, hy = m2w(grid, hpx, hpy)
+        dist = jnp.hypot(hx - cx, hy - cy)
+        ranges = jnp.where(hit, jnp.minimum(dist, cfg.range), cfg.range)
+        return LidarScan(angles=angles, ranges=ranges, hit=hit,
+                         hit_xy=jnp.stack([hx, hy], -1))
+
+    res = grid.resolution
+    support = (jnp.abs(ux) + jnp.abs(uy))[:, None] * 0.5 * res  # (nb, 1)
+    best = jnp.full(world_ang.shape, jnp.inf, jnp.float32)
+    best_px = jnp.zeros(world_ang.shape, jnp.int32)
+    best_py = jnp.zeros(world_ang.shape, jnp.int32)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            qx = samples.px + ox
+            qy = samples.py + oy
+            # OOB reads as free: the reference never updates from
+            # out-of-image cells (lidar_model.py:63-65)
+            occv = lookup(grid, qx, qy, oob_value=1.0)
+            wx, wy = m2w(grid, qx, qy)
+            rx = wx - cx
+            ry = wy - cy
+            along = rx * ux[:, None] + ry * uy[:, None]
+            perp = jnp.abs(ry * ux[:, None] - rx * uy[:, None])
+            d = jnp.hypot(rx, ry)
+            cand = ((occv < 0.5) & (along > 0.0) & (perp <= support)
+                    & (d < cfg.range))
+            dd = jnp.where(cand, d, jnp.inf)
+            k = jnp.argmin(dd, axis=-1)
+            dk = jnp.take_along_axis(dd, k[:, None], axis=-1)[:, 0]
+            better = dk < best
+            best = jnp.where(better, dk, best)
+            best_px = jnp.where(better,
+                                jnp.take_along_axis(qx, k[:, None], -1)[:, 0],
+                                best_px)
+            best_py = jnp.where(better,
+                                jnp.take_along_axis(qy, k[:, None], -1)[:, 0],
+                                best_py)
+    hit = jnp.isfinite(best)
+    hx, hy = m2w(grid, best_px, best_py)
+    hx = jnp.where(hit, hx, cx + cfg.range * ux)
+    hy = jnp.where(hit, hy, cy + cfg.range * uy)
+    ranges = jnp.where(hit, best, cfg.range)
     return LidarScan(angles=angles, ranges=ranges, hit=hit,
                      hit_xy=jnp.stack([hx, hy], -1))
 
