@@ -243,6 +243,26 @@ def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
             lambda w: mpc_corridor(w, path, grid, cfg, model, segments)
         )(located[0])
 
+    return mpc_step_batched_with_corridor(state, path, cfg, model, located,
+                                          corridor, backend=backend,
+                                          grid=grid, segments=segments)
+
+
+def mpc_step_batched_with_corridor(state: CarState, path: PathData,
+                                   cfg: MPCConfig, model: ModelConfig,
+                                   located, corridor: Corridor,
+                                   backend: str | None = None,
+                                   grid: GridMap = None,
+                                   segments: SegmentCandidates | None = None
+                                   ) -> ControlOutput:
+    """Fleet control step given an already-computed corridor — the entry
+    point for callers that extract corridors themselves (e.g. per-lane
+    dynamic grids in the LiDAR-in-the-loop fleet, simulation.py)."""
+    if backend is None:
+        backend = cfg.solver_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
     if backend == "pallas":
         # fully fused path: raw horizon gathers straight into the kernel —
         # assembly, packing, and the ADMM loop all happen in VMEM

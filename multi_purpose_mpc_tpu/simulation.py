@@ -178,6 +178,96 @@ def simulate_lidar_loop(true_grid: GridMap, known_grid: GridMap,
             known_grid.replace(occ=occ))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "model", "sim", "lidar",
+                                              "clear_free", "shared_grid"))
+def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
+                         path: PathData, cfg: MPCConfig, model: ModelConfig,
+                         sim: SimConfig, lidar, state0: CarState,
+                         clear_free: bool = False,
+                         shared_grid: bool = False):
+    """Fleet-scale LiDAR-in-the-loop rollout (BASELINE.json config 4 at
+    batch scale): every lane scans the true world each step, writes hits
+    into its working map, and runs MPC corridor extraction against that
+    updated map — the reference's out-of-repo ROS pipeline (README.md:76)
+    vmapped over thousands of cars.
+
+    Grid semantics (two supported modes):
+      * ``shared_grid=False`` (default): per-lane known grids — independent
+        Monte-Carlo mapping runs.  ``known_grid.occ`` may be (H, W) (tiled
+        to every lane) or already (B, H, W).  HBM cost: B x H x W x 4 bytes
+        (Sim_Track at B=256: 256 MB).
+      * ``shared_grid=True``: ONE known grid cooperatively updated by all
+        lanes each step (a mapping fleet pooling observations).  Lane
+        writes commute (hits set cells occupied via min), so the update is
+        order-independent and deterministic.
+
+    Returns ``(SimResult, final_known_occ)``.
+    """
+    from multi_purpose_mpc_tpu.ops.lidar import scan as lidar_scan
+    from multi_purpose_mpc_tpu.ops.lidar import update_grid_from_scan
+
+    B = state0.x.shape[0]
+    occ0 = known_grid.occ
+    if not shared_grid and occ0.ndim == 2:
+        occ0 = jnp.broadcast_to(occ0, (B,) + occ0.shape)
+
+    grid_axes = GridMap(occ=0, origin=None, resolution=None)
+
+    def step_fn(carry, _):
+        state, occ = carry
+        scans = jax.vmap(lambda x, y, p: lidar_scan(true_grid, x, y, p, lidar)
+                         )(state.x, state.y, state.psi)
+        if shared_grid:
+            kgrid = known_grid.replace(occ=occ)
+            # pooled update: flatten all lanes' hits into one write batch
+            hit_xy = scans.hit_xy.reshape(-1, 2)
+            from multi_purpose_mpc_tpu.ops.grid import w2m
+
+            hpx, hpy = w2m(kgrid, hit_xy[:, 0], hit_xy[:, 1])
+            h, w = kgrid.occ.shape
+            hpx = jnp.clip(hpx, 0, w - 1)
+            hpy = jnp.clip(hpy, 0, h - 1)
+            val = jnp.where(scans.hit.reshape(-1), 0.0, 1.0)
+            new_occ = kgrid.occ.at[hpy, hpx].min(val)
+            st, log = _sim_step_batched(state, path, kgrid.replace(occ=new_occ),
+                                        cfg, model, segments=None)
+            return (st, new_occ), log
+        # per-lane grids: vmapped write-back + per-lane corridor extraction
+        new_occ = jax.vmap(
+            lambda o, x, y, p, s: update_grid_from_scan(
+                known_grid.replace(occ=o), x, y, p, s, lidar,
+                clear_free=clear_free).occ,
+            in_axes=(0, 0, 0, 0, 0))(occ, state.x, state.y, state.psi, scans)
+        st, log = _sim_step_batched_gridded(state, path, known_grid, new_occ,
+                                            cfg, model)
+        return (st, new_occ), log
+
+    (final, occ), log = jax.lax.scan(step_fn, (state0, occ0), None,
+                                     length=sim.max_steps)
+    return SimResult(final_state=final, log=log), occ
+
+
+def _sim_step_batched_gridded(state: CarState, path: PathData,
+                              base_grid: GridMap, occ_b: jnp.ndarray,
+                              cfg: MPCConfig, model: ModelConfig):
+    """Fleet step where every lane carries its OWN occupancy grid ``occ_b``
+    (B, H, W) over shared ``base_grid`` metadata — the per-lane dynamic-map
+    variant of :func:`_sim_step_batched`.  Corridor extraction vmaps over
+    (lane, grid); the QP solve still runs the batched backend (Pallas kernel
+    on TPU)."""
+    from multi_purpose_mpc_tpu.mpc import (mpc_corridor, mpc_locate,
+                                           mpc_step_batched_with_corridor)
+
+    located = jax.vmap(lambda s: mpc_locate(s, path))(state)
+    corridor = jax.vmap(
+        lambda w, occ: mpc_corridor(w, path, base_grid.replace(occ=occ), cfg,
+                                    model, None),
+        in_axes=(0, 0))(located[0], occ_b)
+    out = mpc_step_batched_with_corridor(state, path, cfg, model, located,
+                                         corridor)
+    return jax.vmap(lambda o: _post_control(o, path, model))(out)
+
+
 def init_fleet(path: PathData, N: int, batch: int,
                e_y0: Optional[jnp.ndarray] = None,
                e_psi0: Optional[jnp.ndarray] = None,

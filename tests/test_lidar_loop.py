@@ -2,6 +2,7 @@
 online from scans of the true world (BASELINE.json config 4)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -40,6 +41,91 @@ def test_lidar_loop_discovers_map_and_drives(scenario):
     assert float(res.final_state.s) > 1.0
     assert not bool(res.final_state.failed)
     assert np.abs(np.asarray(res.log.e_y)).max() < 0.25
+
+
+def test_lidar_fleet_per_lane_matches_single(scenario):
+    """Fleet LiDAR loop with per-lane grids: lane 0 (same start, same map)
+    must reproduce the single-lane lidar loop; other lanes evolve their own
+    maps independently."""
+    from multi_purpose_mpc_tpu.simulation import init_fleet, simulate_lidar_fleet
+
+    true_grid = scenario["grid"]
+    known0 = make_grid_map(np.ones_like(np.asarray(true_grid.occ)),
+                           (float(true_grid.origin[0]),
+                            float(true_grid.origin[1])),
+                           float(true_grid.resolution))
+    lidar = LidarConfig(FoV=360, range=1.0, resolution=6, n_ray_samples=160)
+    T = 15
+
+    single, known_s = simulate_lidar_loop(
+        true_grid, known0, scenario["path"], scenario["mpc_cfg"],
+        scenario["model_cfg"], SimConfig(max_steps=T), lidar)
+
+    fleet0 = init_fleet(scenario["path"], scenario["mpc_cfg"].N, batch=3,
+                        wp_id0=jnp.asarray([0, 60, 120], jnp.int32))
+    res, occs = simulate_lidar_fleet(true_grid, known0, scenario["path"],
+                                     scenario["mpc_cfg"],
+                                     scenario["model_cfg"],
+                                     SimConfig(max_steps=T), lidar, fleet0)
+    assert occs.shape == (3,) + np.asarray(true_grid.occ).shape
+    # lane 0 vs single lane: the fleet path vectorizes gathers/reductions at
+    # batch 3 (different float reduction order than batch 1), so commands
+    # agree to the same ~5e-3 band as test_fleet_matches_single
+    np.testing.assert_allclose(np.asarray(res.log.v)[:, 0],
+                               np.asarray(single.log.v), atol=5e-3)
+    # lane 0 discovers (essentially) the same map: sub-mm pose differences
+    # can flip a handful of boundary cells
+    d0 = np.asarray(known0.occ) - np.asarray(occs[0])
+    ds_ = np.asarray(known0.occ) - np.asarray(known_s.occ)
+    n_diff = int((np.asarray(occs[0]) != np.asarray(known_s.occ)).sum())
+    assert n_diff < 0.05 * max(ds_.sum(), 1), n_diff  # measured: 14/450
+    assert abs(d0.sum() - ds_.sum()) < 0.05 * max(ds_.sum(), 1)
+    # every lane made progress on its own discovered map
+    ds = np.asarray(res.final_state.s) - np.asarray(fleet0.s)
+    assert (ds > 0.3).all(), ds
+    assert not np.asarray(res.final_state.failed).any()
+    # lanes discovered different parts of the world
+    assert not np.array_equal(np.asarray(occs[0]), np.asarray(occs[1]))
+
+
+def test_lidar_fleet_shared_grid_pools_observations(scenario):
+    """shared_grid=True: one cooperatively-built map — the union of all
+    lanes' discoveries, deterministic (hit writes commute)."""
+    from multi_purpose_mpc_tpu.simulation import init_fleet, simulate_lidar_fleet
+
+    true_grid = scenario["grid"]
+    known0 = make_grid_map(np.ones_like(np.asarray(true_grid.occ)),
+                           (float(true_grid.origin[0]),
+                            float(true_grid.origin[1])),
+                           float(true_grid.resolution))
+    lidar = LidarConfig(FoV=360, range=1.0, resolution=6, n_ray_samples=160)
+    T = 10
+    starts = jnp.asarray([0, 50, 100, 150], jnp.int32)
+    fleet0 = init_fleet(scenario["path"], scenario["mpc_cfg"].N, batch=4,
+                        wp_id0=starts)
+
+    res, occ = simulate_lidar_fleet(true_grid, known0, scenario["path"],
+                                    scenario["mpc_cfg"], scenario["model_cfg"],
+                                    SimConfig(max_steps=T), lidar, fleet0,
+                                    shared_grid=True)
+    assert occ.shape == np.asarray(true_grid.occ).shape
+    # pooled map discovered more than any single lane would alone
+    n_shared = int((np.asarray(known0.occ) - np.asarray(occ)).sum())
+    res1, occ1 = simulate_lidar_fleet(true_grid, known0, scenario["path"],
+                                      scenario["mpc_cfg"],
+                                      scenario["model_cfg"],
+                                      SimConfig(max_steps=T), lidar,
+                                      jax.tree.map(lambda a: a[:1], fleet0))
+    n_single = int((np.asarray(known0.occ) - np.asarray(occ1[0])).sum())
+    assert n_shared > n_single > 0
+    # determinism: same fleet, same pooled map
+    res2, occ2 = simulate_lidar_fleet(true_grid, known0, scenario["path"],
+                                      scenario["mpc_cfg"],
+                                      scenario["model_cfg"],
+                                      SimConfig(max_steps=T), lidar, fleet0,
+                                      shared_grid=True)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ2))
+    assert not np.asarray(res.final_state.failed).any()
 
 
 def test_lidar_loop_true_map_equivalence(scenario):
