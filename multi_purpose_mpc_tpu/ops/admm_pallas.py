@@ -112,7 +112,8 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
         if build is None:
             (AB_ref, beq_ref, Pd_ref, qv_ref, lw_ref, uw_ref,
              W0_ref, Zw0_ref, Yeq0_ref, Yw0_ref, rho0_ref,
-             W_out, Zw_out, Yeq_out, Yw_out, rho_out, rp_out, rd_out) = refs
+             W_out, Zw_out, Yeq_out, Yw_out, rho_out, rp_out, rd_out,
+             AB_s, C_s, diag_s, Sinv_s, v_s, w_s) = refs
             AB = AB_ref[:]  # (N, 3, 5, L) stage [A_n | B_n]
             beq = beq_ref[:]  # (N+1, 3, L)
             Pd = Pd_ref[:]  # (N+1, 5, L) diagonal cost (u-slots of stage N=0)
@@ -122,8 +123,13 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
         else:
             raw = refs[:n_raw]
             (W0_ref, Zw0_ref, Yeq0_ref, Yw0_ref, rho0_ref,
-             W_out, Zw_out, Yeq_out, Yw_out, rho_out, rp_out, rd_out) =                 refs[n_raw:]
+             W_out, Zw_out, Yeq_out, Yw_out, rho_out, rp_out, rd_out,
+             AB_s, C_s, diag_s, Sinv_s, v_s, w_s) = refs[n_raw:]
             AB, beq, Pd, qv, lw, uw = build(*[r[:] for r in raw])
+        # stage-indexed reads inside the rolled loops below go through VMEM
+        # scratch (dynamic indexing of register values is not a Mosaic-safe
+        # pattern); the vectorized all-stage ops keep using the AB value
+        AB_s[:] = AB
 
         W = W0_ref[:]  # (N+1, 5, L) primal (x_n, u_n)
         Zw = jnp.clip(Zw0_ref[:], lw, uw)
@@ -133,13 +139,6 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
 
         dtype = W.dtype
         L = W.shape[-1]
-
-        # precompute AB'AB once (rho-independent part of the diagonal
-        # blocks); unrolled multiply-adds, stage axis vectorized
-        AtA = jnp.stack([
-            jnp.stack([sum(AB[:, k, i] * AB[:, k, j] for k in range(NX))
-                       for j in range(NW)], axis=1)
-            for i in range(NW)], axis=1)  # (N, 5, 5, L)
 
         # equality-like box rows (l == u) carry rho * eq_scale, like OSQP's
         # rho vector and the XLA solver's rho_rows
@@ -160,66 +159,89 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
                   ).astype(dtype)  # (5, 1)
 
         def factor(rho_v, rho_w):
-            """Stage factors Sinv (N+1,5,5,L) and coupling C (N,3,5,L).
-            All diagonal embeddings are one-hot products — no scatter."""
+            """Writes stage factors Sinv into the (N+1,5,5,L) VMEM scratch
+            ``Sinv_s`` via a rolled Schur recursion; returns the coupling
+            tensor C (N,3,5,L).  Rolled ``fori_loop`` + scratch (instead of
+            an unrolled Python list) keeps code size and peak VMEM O(1) in
+            N — the restructuring that lifts the N~30 horizon cap.  All
+            diagonal embeddings are one-hot products — no scatter."""
             rho_eq = rho_v[0] * eq_scale  # (L,)
-            diag_base = Pd + sigma + rho_w  # (N+1, 5, L)
+            diag_s[:] = Pd + sigma + rho_w  # (N+1, 5, L)
+            # coupling C_n = -rho_eq * AB_n, staged once per factorization
+            # so the per-iteration substitutions don't recompute it
+            C_s[:] = -(rho_eq[None, None, None, :] * AB)
 
-            # stages 0..N-1: rho_eq*(AB'AB + diag(mask_x)) + diag(diag_base)
-            diag_body = (diag_base[:-1] + rho_eq[None, None, :] * mask_x[None, :, :])
-            D = AtA * rho_eq + diag_body[:, :, None, :] * eye5[None, :, :, :]
+            def GCt5_embed(G, Cn):
+                """pad(G C') on the x-x block -> (5, 5, L); the u rows/cols
+                are zero (no jnp.pad in Mosaic — explicit row build)."""
+                GCt = [[sum(G[i][k] * Cn[j][k] for k in range(NW))
+                        for j in range(NX)] for i in range(NX)]
+                z = jnp.zeros((L,), dtype)
+                return jnp.stack([
+                    jnp.stack([(GCt[i][j] if (i < NX and j < NX) else z)
+                               for j in range(NW)])
+                    for i in range(NW)])
+
+            def D_of(n_idx, ABn):
+                """Diagonal block of stage n (< N), built on the fly:
+                rho_eq*(AB_n'AB_n + diag(mask_x)) + diag(diag_base_n)."""
+                AtA = jnp.stack([
+                    jnp.stack([sum(ABn[k, i] * ABn[k, j] for k in range(NX))
+                               for j in range(NW)])
+                    for i in range(NW)])  # (5, 5, L)
+                diag = diag_s[n_idx] + rho_eq[None, :] * mask_x
+                return AtA * rho_eq + diag[:, None, :] * eye5
+
+            Sinv_s[0] = _gj_inverse_5x5(D_of(0, AB_s[0]))
+
+            def fstep(n, _):
+                Cn = C_s[n - 1]  # (3, 5, L)
+                Sprev = Sinv_s[n - 1]
+                G = _mm_ll(Cn, Sprev)  # (3, 5, L)
+                Sinv_s[n] = _gj_inverse_5x5(D_of(n, AB_s[n]) - GCt5_embed(G, Cn))
+                return 0
+
+            jax.lax.fori_loop(1, N, fstep, 0, unroll=False)
 
             # terminal stage: x rows diag_base + rho_eq; pad u rows identity
-            diag_N = (mask_x * (diag_base[N] + rho_eq[None, :])
-                      + (1.0 - mask_x))
+            diag_N = (mask_x * (diag_s[N] + rho_eq[None, :]) + (1.0 - mask_x))
             DN = diag_N[:, None, :] * eye5
+            CN = C_s[N - 1]
+            G = _mm_ll(CN, Sinv_s[N - 1])
+            Sinv_s[N] = _gj_inverse_5x5(DN - GCt5_embed(G, CN))
 
-            # C_n: rows stage n+1 (x only) x cols stage n = -rho_eq * AB_n
-            C = -(rho_eq[None, None, None, :] * AB)  # (N, 3, 5, L)
+        def solve(b):
+            """Block-tridiagonal solve M w = b using the Sinv_s factors;
+            b: (N+1, 5, L).  Forward/backward substitutions as rolled
+            fori_loops over the v/w VMEM scratch buffers — code size and
+            live VMEM stay O(1) in the horizon."""
+            v_s[:] = b
 
-            # Schur recursion
-            pad_uu = jnp.zeros((NU, NU, L), dtype)
-            pad_xu = jnp.zeros((NX, NU, L), dtype)
-            Sinvs = []
-            Sinv = _gj_inverse_5x5(D[0])
-            Sinvs.append(Sinv)
-            for n in range(1, N + 1):
-                Cn = C[n - 1]  # (3, 5, L) acting from x-rows of stage n
-                # G = C S^-1 : (3,5,L); S_n = D_n - pad(G C') on x-rows
-                G = _mm_ll(Cn, Sinv)  # (3, 5, L)
-                GCt = jnp.stack([
-                    jnp.stack([sum(G[i, k] * Cn[j, k] for k in range(NW))
-                               for j in range(NX)])
-                    for i in range(NX)])  # (3, 3, L)
-                GCt5 = jnp.concatenate([
-                    jnp.concatenate([GCt, pad_xu], axis=1),
-                    jnp.concatenate([jnp.swapaxes(pad_xu, 0, 1), pad_uu], axis=1),
-                ], axis=0)  # (5, 5, L), nonzero only in the x-x block
-                Dn = D[n] if n < N else DN
-                Sinv = _gj_inverse_5x5(Dn - GCt5)
-                Sinvs.append(Sinv)
-            return jnp.stack(Sinvs), C  # (N+1,5,5,L), (N,3,5,L)
-
-        def solve(Sinv, C, b):
-            """Block-tridiagonal solve M w = b, b: (N+1, 5, L)."""
-            pad2 = jnp.zeros((NU, b.shape[-1]), b.dtype)
-            # forward
-            v = [None] * (N + 1)
-            v[0] = b[0]
-            for n in range(1, N + 1):
-                Sv = _mv5(Sinv[n - 1], v[n - 1])  # (5, L)
-                Gv = jnp.stack([sum(C[n - 1][i, j] * Sv[j] for j in range(NW))
+            def fwd(n, _):
+                Sv = _mv5(Sinv_s[n - 1], v_s[n - 1])  # (5, L)
+                Cn = C_s[n - 1]
+                Gv = jnp.stack([sum(Cn[i, j] * Sv[j] for j in range(NW))
                                 for i in range(NX)])
-                v[n] = b[n] - jnp.concatenate([Gv, pad2], axis=0)
-            # backward
-            w = [None] * (N + 1)
-            w[N] = _mv5(Sinv[N], v[N])
-            for n in range(N - 1, -1, -1):
-                wx = w[n + 1]
-                Ctw = jnp.stack([sum(C[n][i, j] * wx[i] for i in range(NX))
+                # subtract on x rows only (u rows of the pad are zero)
+                Gv5 = jnp.concatenate([Gv, jnp.zeros((NU, L), dtype)], axis=0)
+                v_s[n] = v_s[n] - Gv5
+                return 0
+
+            jax.lax.fori_loop(1, N + 1, fwd, 0, unroll=False)
+
+            w_s[N] = _mv5(Sinv_s[N], v_s[N])
+
+            def bwd(k, _):
+                n = N - 1 - k
+                wx = w_s[n + 1]
+                Cn = C_s[n]
+                Ctw = jnp.stack([sum(Cn[i, j] * wx[i] for i in range(NX))
                                  for j in range(NW)])
-                w[n] = _mv5(Sinv[n], v[n] - Ctw)
-            return jnp.stack(w)  # (N+1, 5, L)
+                w_s[n] = _mv5(Sinv_s[n], v_s[n] - Ctw)
+                return 0
+
+            jax.lax.fori_loop(0, N, bwd, 0, unroll=False)
+            return w_s[:]  # (N+1, 5, L)
 
         def eq_apply(Wv):
             """r_0 = -x_0; r_{n+1} = AB_n W_n - x_{n+1}  -> (N+1, 3, L)."""
@@ -245,13 +267,13 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
             W, Zw, Yeq, Yw = st
             rho_eq = rho_v[0] * eq_scale
             rho_w = rho_rows(rho_v, boost)
-            Sinv, C = factor(rho_v, rho_w)
+            factor(rho_v, rho_w)  # writes Sinv_s
 
             def body(_, st):
                 W, Zw, Yeq, Yw = st
                 weq = rho_eq[None, None, :] * beq - Yeq
                 rhs = sigma * W - qv + eq_applyT(weq) + rho_w * Zw - Yw
-                Wt = solve(Sinv, C, rhs)
+                Wt = solve(rhs)
                 Req = eq_apply(Wt)
                 Wn = alpha * Wt + (1.0 - alpha) * W
                 Zeq_pre = alpha * Req + (1.0 - alpha) * beq
@@ -329,6 +351,22 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
         rd_out[:] = rd[None, :]
 
     return kernel
+
+
+def _solver_scratch(N: int, lanes: int):
+    """VMEM scratch for the rolled stage loops: stage data / factors /
+    substitution buffers.  Total f32 VMEM: (N+1) x (25 + 3x5) x lanes x 4 B
+    + N x 15 x lanes — ~2.1 MB at N=30, lanes=128; linear in N (N=100:
+    ~6.8 MB), which is what lets horizons >> 30 fit the 16 MB budget."""
+    f32 = jnp.float32
+    return [
+        pltpu.VMEM((N, NX, NW, lanes), f32),  # AB_s (stage-indexed reads)
+        pltpu.VMEM((N, NX, NW, lanes), f32),  # C_s (coupling, per factor)
+        pltpu.VMEM((N + 1, NW, lanes), f32),  # diag_s
+        pltpu.VMEM((N + 1, NW, NW, lanes), f32),  # Sinv_s
+        pltpu.VMEM((N + 1, NW, lanes), f32),  # v_s (forward substitution)
+        pltpu.VMEM((N + 1, NW, lanes), f32),  # w_s (backward substitution)
+    ]
 
 
 def _pack_qp(qp: LTVQP):
@@ -424,6 +462,7 @@ def solve_ltv_qp_pallas(qp: LTVQP, warm: SolverCarry, cfg: SolverConfig,
             spec(1,),  # rp
             spec(1,),  # rd
         ],
+        scratch_shapes=_solver_scratch(N, lanes),
     )
     f32 = jnp.float32
     out_shapes = [
@@ -605,6 +644,7 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
                   spec(N + 1, NW), spec(1,)],
         out_specs=[spec(N + 1, NW), spec(N + 1, NW), spec(N + 1, NX),
                    spec(N + 1, NW), spec(1,), spec(1,), spec(1,)],
+        scratch_shapes=_solver_scratch(N, lanes),
     )
     f32 = jnp.float32
     out_shapes = [
