@@ -8,6 +8,11 @@ the most expensive one (dynamic corridor extraction every step).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 10_000 (the BASELINE.json north-star).
+
+``bench.py --check`` instead runs the COMPILED (no interpret) Pallas kernels
+on real scenario QPs and asserts status/residual/U[0]/corridor agreement with
+the XLA solver — the Mosaic-lowering correctness gate that CI (CPU,
+interpret=True) cannot provide.  Exits non-zero on any mismatch.
 """
 
 import json
@@ -93,6 +98,26 @@ def main():
     _ = float(np.asarray(r1.log.x.sum()))
     single_steps_per_sec = 100 / (time.perf_counter() - t0)
 
+    # LiDAR-in-the-loop fleet (BASELINE.json config 4 at batch scale):
+    # per-lane scans + per-lane online maps + in-loop corridor extraction.
+    from multi_purpose_mpc_tpu.config import LidarConfig
+    from multi_purpose_mpc_tpu.simulation import simulate_lidar_fleet
+
+    LIDAR_BATCH = 256
+    LIDAR_STEPS = 25
+    lidar = LidarConfig(FoV=360, range=1.0, resolution=4, n_ray_samples=192)
+    lfleet = jax.tree.map(lambda a: a[:LIDAR_BATCH], make_fleet(4))
+    lsim = SimConfig(max_steps=LIDAR_STEPS, static_grid=False)
+    lres, _ = simulate_lidar_fleet(grid, grid, path, mpc_cfg, model_cfg,
+                                   lsim, lidar, lfleet)
+    _ = float(np.asarray(lres.log.x.sum()))  # warm + fence
+    lfleet = jax.tree.map(lambda a: a[:LIDAR_BATCH], make_fleet(5))
+    t0 = time.perf_counter()
+    lres, _ = simulate_lidar_fleet(grid, grid, path, mpc_cfg, model_cfg,
+                                   lsim, lidar, lfleet)
+    _ = float(np.asarray(lres.log.x.sum() + lres.log.v.sum()))
+    lidar_rate = LIDAR_BATCH * LIDAR_STEPS / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "closed-loop MPC car-steps/sec (linearize+corridor+QP+rollout), batch 4096, obstacle-avoidance config",
         "value": round(car_steps_per_sec, 1),
@@ -104,10 +129,143 @@ def main():
             "wall_s": round(dt, 3),
             "qp_solve_rate": round(solve_rate, 4),
             "single_car_steps_per_sec": round(single_steps_per_sec, 1),
+            "lidar_fleet_steps_per_sec": round(lidar_rate, 1),
+            "lidar_fleet_batch": LIDAR_BATCH,
             "device": str(jax.devices()[0]),
         },
     }))
 
 
+def check():
+    """Compiled-kernel correctness gate (run on the real TPU).
+
+    CI exercises the Pallas kernels only in ``interpret=True`` on CPU; this
+    mode runs the ACTUAL Mosaic-compiled kernels on scenario QPs and asserts
+    the same status/residual/U[0]/corridor agreement with the XLA solver
+    that tests/test_admm_pallas.py asserts in interpret mode — so a Mosaic
+    lowering bug that silently degrades solutions fails loudly here.
+    OSQP plays this trusted-solver role in the reference (MPC.py:157-183).
+    """
+    from multi_purpose_mpc_tpu.models.bicycle import init_car_state
+    from multi_purpose_mpc_tpu.mpc import (kappa_predictions, mpc_corridor,
+                                           mpc_locate, mpc_pre_solve)
+    from multi_purpose_mpc_tpu.ops.admm_pallas import (solve_ltv_qp_pallas,
+                                                       solve_mpc_qp_fused)
+    from multi_purpose_mpc_tpu.ops.constraints import extract_all_segments
+    from multi_purpose_mpc_tpu.ops.corridor_pallas import corridor_select_pallas
+    from multi_purpose_mpc_tpu.ops.ltv_qp import solve_ltv_qp
+    from multi_purpose_mpc_tpu.ops.path import gather_waypoint_index
+
+    assert jax.default_backend() == "tpu", (
+        "--check is the compiled-TPU gate; CI covers interpret mode")
+
+    map_cfg, path_cfg, model_cfg, cfg, speed_cfg, obstacles = (
+        sim_track_preset(asset_dir="/root/repo/assets/maps"))
+    grid = load_grid_map(map_cfg)
+    path = build_reference_path(grid, path_cfg)
+    grid = add_obstacles_host(grid, map_cfg.origin, map_cfg.resolution, obstacles)
+    path = compute_speed_profile(path, speed_cfg)
+    sm = model_cfg.safety_margin
+    segs = extract_all_segments(grid, path, 2 * sm,
+                                n_samples=cfg.n_scan_samples,
+                                max_segments=cfg.max_segments)
+
+    # states spread around the whole track incl. obstacle pinch-points
+    B = cfg.solver.kernel_lanes
+    rng = np.random.default_rng(7)
+    e0 = jnp.asarray(rng.uniform(-0.02, 0.02, B), jnp.float32)
+    wp0 = jnp.asarray((np.arange(B) * (path.n_wp // B + 1)) % path.n_wp,
+                      jnp.int32)
+    states = jax.vmap(lambda e, w: init_car_state(path, cfg.N, e_y=e, wp_id=w)
+                      )(e0, wp0)
+    located = jax.vmap(lambda s: mpc_locate(s, path))(states)
+    wp_id, e_y, e_psi = located
+
+    # --- gate 1: corridor selection kernel vs XLA scan ---
+    cor_ref = jax.vmap(
+        lambda w: mpc_corridor(w, path, grid, cfg, model_cfg, segs))(wp_id)
+    cor_ker = corridor_select_pallas(path, segs, wp_id + 1, cfg, sm,
+                                     lanes=cfg.solver.kernel_lanes)
+    np.testing.assert_allclose(np.asarray(cor_ker.ub), np.asarray(cor_ref.ub),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cor_ker.lb), np.asarray(cor_ref.lb),
+                               atol=2e-4)
+    print("check[corridor_select_pallas]: OK "
+          f"(max |d_ub| {np.abs(np.asarray(cor_ker.ub - cor_ref.ub)).max():.1e})")
+
+    # --- gate 2: structured ADMM kernel vs XLA stage-scan solver ---
+    qp, _ = jax.vmap(lambda s, loc, cor: mpc_pre_solve(
+        s, path, grid, cfg, model_cfg, segs, located=loc, corridor=cor))(
+        states, located, cor_ref)
+    ref = jax.vmap(lambda q, w: solve_ltv_qp(q, cfg.solver, warm=w))(
+        qp, states.solver)
+    ker = solve_ltv_qp_pallas(qp, states.solver, cfg.solver,
+                              lanes=cfg.solver.kernel_lanes)
+    _assert_solver_agreement("solve_ltv_qp_pallas", ker, ref, cfg)
+
+    # --- gate 3: fully fused kernel (in-kernel assembly) vs XLA pipeline ---
+    idxs = jax.vmap(lambda w: gather_waypoint_index(path, w, jnp.arange(cfg.N))
+                    )(wp_id)
+    x0 = jnp.stack([e_y, e_psi, jnp.zeros_like(e_y)], -1)
+    kp = jax.vmap(lambda u: kappa_predictions(u, cfg.N))(states.u_seq)
+    fused = solve_mpc_qp_fused(path.v_ref[idxs], path.kappa[idxs],
+                               path.seg_dist[idxs], cor_ref.lb, cor_ref.ub,
+                               x0, kp, states.solver, cfg.solver, cfg,
+                               model_cfg, lanes=cfg.solver.kernel_lanes)
+    _assert_solver_agreement("solve_mpc_qp_fused", fused, ref, cfg)
+
+    # --- gate 4: N=60 horizon, compiled (rolled stage loops in VMEM) ---
+    import dataclasses
+
+    from multi_purpose_mpc_tpu.ops.ltv_qp import init_solver_carry
+
+    cfg60 = dataclasses.replace(cfg, N=60)
+    states60 = jax.vmap(lambda e, w: init_car_state(path, 60, e_y=e, wp_id=w)
+                        )(e0, wp0)
+    loc60 = jax.vmap(lambda s: mpc_locate(s, path))(states60)
+    cor60 = jax.vmap(
+        lambda w: mpc_corridor(w, path, grid, cfg60, model_cfg, segs)
+    )(loc60[0])
+    qp60, _ = jax.vmap(lambda s, loc, cor: mpc_pre_solve(
+        s, path, grid, cfg60, model_cfg, segs, located=loc, corridor=cor))(
+        states60, loc60, cor60)
+    ref60 = jax.vmap(lambda q, w: solve_ltv_qp(q, cfg.solver, warm=w))(
+        qp60, states60.solver)
+    ker60 = solve_ltv_qp_pallas(qp60, states60.solver, cfg.solver,
+                                lanes=cfg.solver.kernel_lanes)
+    _assert_solver_agreement("solve_ltv_qp_pallas[N=60]", ker60, ref60, cfg)
+    print(json.dumps({"check": "ok", "lanes": int(B),
+                      "device": str(jax.devices()[0])}))
+
+
+def _assert_solver_agreement(name, out, ref, cfg):
+    """The interpret-mode bars of tests/test_admm_pallas.py:33-48, applied
+    to the compiled kernel: acceptance decisions identical, residuals match,
+    speed command (the strongly-determined control) elementwise close."""
+    ok_out = np.asarray(out.r_prim) <= cfg.feas_tol
+    ok_ref = np.asarray(ref.r_prim) <= cfg.feas_tol
+    np.testing.assert_array_equal(ok_out, ok_ref)
+    assert (np.asarray(out.status) != 2).all(), "kernel lane DIVERGED"  # admm.DIVERGED
+    # r_prim agreement at the acceptance scale: compiled-TPU vs XLA-on-TPU
+    # reduction orders shift near-converged residuals by up to a few e-3 in
+    # absolute terms (measured 2.8e-3 max on scenario QPs); the acceptance
+    # equality above is the exact gate, this bounds residual QUALITY drift
+    np.testing.assert_allclose(np.asarray(out.r_prim), np.asarray(ref.r_prim),
+                               atol=5e-3)
+    # speed command: strongly determined away from obstacle pinch-points;
+    # ON pinch-point lanes the active set is near-degenerate and two
+    # eps~1e-3-accurate solvers legitimately differ by O(1e-2) (measured
+    # 8.7e-3 worst lane of 128; the reference's OSQP at its default eps has
+    # the same property) — the bound is the behavioral scale, not float noise
+    np.testing.assert_allclose(np.asarray(out.U[:, 0, 0]),
+                               np.asarray(ref.U[:, 0, 0]), atol=2e-2)
+    d = np.abs(np.asarray(out.U[:, 0, 0]) - np.asarray(ref.U[:, 0, 0])).max()
+    print(f"check[{name}]: OK (max |d_v0| {d:.1e}, "
+          f"max r_prim {np.asarray(out.r_prim).max():.1e})")
+
+
 if __name__ == "__main__":
-    main()
+    if "--check" in sys.argv:
+        check()
+    else:
+        main()

@@ -39,16 +39,32 @@ def test_real_track_geometry(real_track):
     assert (np.asarray(path.ub) >= 0).all() and (np.asarray(path.lb) <= 0).all()
 
 
-def test_real_track_closed_loop_progress(real_track):
-    """The car makes substantial progress on the real map without failing
-    (a full traversal takes ~1100 steps; we bound runtime)."""
-    res = simulate_closed_loop(real_track["grid"], real_track["path"],
+def test_real_track_full_traversal(real_track):
+    """Drive the WHOLE Real_Track to completion — the reference's second
+    scenario runs until ``car.s >= reference_path.length``
+    (simulation.py:58-88, 134).  A non-circular end-of-path (clamped horizon
+    gathers + done masks, ops/path.py) is exactly the seam only a full
+    traversal exercises.  Measured: ~1,230 active steps, accept rate 1.0,
+    |e_y| < 0.6 m inside the 1.5 m corridor."""
+    path = real_track["path"]
+    res = simulate_closed_loop(real_track["grid"], path,
                                real_track["mpc_cfg"], real_track["model_cfg"],
-                               SimConfig(max_steps=120))
-    assert float(res.final_state.s) > 4.0, float(res.final_state.s)
-    assert not bool(res.final_state.failed)
+                               SimConfig(max_steps=1400))
+    final = res.final_state
+    assert bool(final.done), f"traversal incomplete: s={float(final.s):.2f}"
+    assert not bool(final.failed)
+    assert float(final.s) >= float(path.length)
+
     act = np.asarray(res.log.active)
-    assert np.asarray(res.log.ok)[act].mean() > 0.9
+    assert 900 < act.sum() < 1400, act.sum()
+    # every active control accepted (no replay needed on the obstacle-free
+    # real map) and the car stays well inside the corridor
+    assert np.asarray(res.log.ok)[act].mean() > 0.99
+    e_y = np.asarray(res.log.e_y)[act]
+    assert np.abs(e_y).max() < float(np.asarray(path.ub).max()) + 0.05
+    # after completion the lane freezes (done-mask semantics vs the
+    # reference's exit(1), reference_path.py:366-369)
+    assert (np.asarray(res.log.v)[~act] == 0.0).all()
 
 
 def test_boundary_rasterization_world_coords(real_track):
