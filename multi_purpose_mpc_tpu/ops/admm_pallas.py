@@ -107,6 +107,16 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
     sigma = cfg.sigma
     alpha = cfg.alpha
     eq_scale = cfg.rho_eq_scale
+    # Stage-loop policy.  Two implementations of the factor/substitution
+    # recursions share one interface (make_stage_solver):
+    #   * N <= 32 — unrolled SSA values: Mosaic keeps factors/iterates in
+    #     registers across the iteration loop (the round-1 schedule, ~158k
+    #     car-steps/s at batch 4096);
+    #   * N > 32 — rolled fori_loops over VMEM scratch: O(1) code size and
+    #     live-set in N, which is what makes N = 60-100+ compile and fit
+    #     the 16 MB budget (costs ~18% at N=30 from scratch round-trips —
+    #     measured, hence the hybrid).
+    ROLLED = N > 32
 
     def kernel(*refs):
         if build is None:
@@ -126,10 +136,11 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
              W_out, Zw_out, Yeq_out, Yw_out, rho_out, rp_out, rd_out,
              AB_s, C_s, diag_s, Sinv_s, v_s, w_s) = refs[n_raw:]
             AB, beq, Pd, qv, lw, uw = build(*[r[:] for r in raw])
-        # stage-indexed reads inside the rolled loops below go through VMEM
-        # scratch (dynamic indexing of register values is not a Mosaic-safe
-        # pattern); the vectorized all-stage ops keep using the AB value
-        AB_s[:] = AB
+        if ROLLED:
+            # stage-indexed reads inside the rolled loops go through VMEM
+            # scratch (dynamic indexing of register values is not a
+            # Mosaic-safe pattern); vectorized all-stage ops use the value
+            AB_s[:] = AB
 
         W = W0_ref[:]  # (N+1, 5, L) primal (x_n, u_n)
         Zw = jnp.clip(Zw0_ref[:], lw, uw)
@@ -158,12 +169,11 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
         mask_x = (jax.lax.broadcasted_iota(jnp.int32, (NW, 1), 0) < NX
                   ).astype(dtype)  # (5, 1)
 
-        def factor(rho_v, rho_w):
+        def factor_rolled(rho_v, rho_w):
             """Writes stage factors Sinv into the (N+1,5,5,L) VMEM scratch
-            ``Sinv_s`` via a rolled Schur recursion; returns the coupling
-            tensor C (N,3,5,L).  Rolled ``fori_loop`` + scratch (instead of
-            an unrolled Python list) keeps code size and peak VMEM O(1) in
-            N — the restructuring that lifts the N~30 horizon cap.  All
+            ``Sinv_s`` via a rolled Schur recursion.  Rolled ``fori_loop``
+            + scratch (instead of an unrolled Python list) keeps code size
+            and peak VMEM O(1) in N — what lifts the N~30 horizon cap.  All
             diagonal embeddings are one-hot products — no scatter."""
             rho_eq = rho_v[0] * eq_scale  # (L,)
             diag_s[:] = Pd + sigma + rho_w  # (N+1, 5, L)
@@ -201,7 +211,7 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
                 Sinv_s[n] = _gj_inverse_5x5(D_of(n, AB_s[n]) - GCt5_embed(G, Cn))
                 return 0
 
-            jax.lax.fori_loop(1, N, fstep, 0, unroll=False)
+            jax.lax.fori_loop(1, N, fstep, 0, unroll=1)
 
             # terminal stage: x rows diag_base + rho_eq; pad u rows identity
             diag_N = (mask_x * (diag_s[N] + rho_eq[None, :]) + (1.0 - mask_x))
@@ -210,7 +220,7 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
             G = _mm_ll(CN, Sinv_s[N - 1])
             Sinv_s[N] = _gj_inverse_5x5(DN - GCt5_embed(G, CN))
 
-        def solve(b):
+        def solve_rolled(b):
             """Block-tridiagonal solve M w = b using the Sinv_s factors;
             b: (N+1, 5, L).  Forward/backward substitutions as rolled
             fori_loops over the v/w VMEM scratch buffers — code size and
@@ -227,7 +237,7 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
                 v_s[n] = v_s[n] - Gv5
                 return 0
 
-            jax.lax.fori_loop(1, N + 1, fwd, 0, unroll=False)
+            jax.lax.fori_loop(1, N + 1, fwd, 0, unroll=1)
 
             w_s[N] = _mv5(Sinv_s[N], v_s[N])
 
@@ -240,8 +250,75 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
                 w_s[n] = _mv5(Sinv_s[n], v_s[n] - Ctw)
                 return 0
 
-            jax.lax.fori_loop(0, N, bwd, 0, unroll=False)
+            jax.lax.fori_loop(0, N, bwd, 0, unroll=1)
             return w_s[:]  # (N+1, 5, L)
+
+        def factor_values(rho_v, rho_w):
+            """Unrolled factorization as SSA values (N <= 32 fast path):
+            returns (Sinv, C); Mosaic register-allocates across the
+            iteration loop with no scratch round-trips."""
+            rho_eq = rho_v[0] * eq_scale  # (L,)
+            diag_base = Pd + sigma + rho_w  # (N+1, 5, L)
+            AtA = jnp.stack([
+                jnp.stack([sum(AB[:, k, i] * AB[:, k, j] for k in range(NX))
+                           for j in range(NW)], axis=1)
+                for i in range(NW)], axis=1)  # (N, 5, 5, L)
+            diag_body = (diag_base[:-1]
+                         + rho_eq[None, None, :] * mask_x[None, :, :])
+            D = AtA * rho_eq + diag_body[:, :, None, :] * eye5[None, :, :, :]
+            diag_N = (mask_x * (diag_base[N] + rho_eq[None, :])
+                      + (1.0 - mask_x))
+            DN = diag_N[:, None, :] * eye5
+            C = -(rho_eq[None, None, None, :] * AB)  # (N, 3, 5, L)
+
+            pad_uu = jnp.zeros((NU, NU, L), dtype)
+            pad_xu = jnp.zeros((NX, NU, L), dtype)
+            Sinvs = []
+            Sinv = _gj_inverse_5x5(D[0])
+            Sinvs.append(Sinv)
+            for n in range(1, N + 1):
+                Cn = C[n - 1]
+                G = _mm_ll(Cn, Sinv)
+                GCt = jnp.stack([
+                    jnp.stack([sum(G[i, k] * Cn[j, k] for k in range(NW))
+                               for j in range(NX)])
+                    for i in range(NX)])
+                GCt5 = jnp.concatenate([
+                    jnp.concatenate([GCt, pad_xu], axis=1),
+                    jnp.concatenate([jnp.swapaxes(pad_xu, 0, 1), pad_uu],
+                                    axis=1),
+                ], axis=0)
+                Dn = D[n] if n < N else DN
+                Sinv = _gj_inverse_5x5(Dn - GCt5)
+                Sinvs.append(Sinv)
+            return jnp.stack(Sinvs), C
+
+        def solve_values(Sinv, C, b):
+            """Unrolled substitutions on SSA values (N <= 32 fast path)."""
+            pad2 = jnp.zeros((NU, b.shape[-1]), b.dtype)
+            v = [None] * (N + 1)
+            v[0] = b[0]
+            for n in range(1, N + 1):
+                Sv = _mv5(Sinv[n - 1], v[n - 1])
+                Gv = jnp.stack([sum(C[n - 1][i, j] * Sv[j] for j in range(NW))
+                                for i in range(NX)])
+                v[n] = b[n] - jnp.concatenate([Gv, pad2], axis=0)
+            w = [None] * (N + 1)
+            w[N] = _mv5(Sinv[N], v[N])
+            for n in range(N - 1, -1, -1):
+                wx = w[n + 1]
+                Ctw = jnp.stack([sum(C[n][i, j] * wx[i] for i in range(NX))
+                                 for j in range(NW)])
+                w[n] = _mv5(Sinv[n], v[n] - Ctw)
+            return jnp.stack(w)
+
+        def make_stage_solver(rho_v, rho_w):
+            """Factorize for this rho; return the b -> w solve closure."""
+            if not ROLLED:
+                Sinv, C = factor_values(rho_v, rho_w)
+                return lambda b: solve_values(Sinv, C, b)
+            factor_rolled(rho_v, rho_w)
+            return solve_rolled
 
         def eq_apply(Wv):
             """r_0 = -x_0; r_{n+1} = AB_n W_n - x_{n+1}  -> (N+1, 3, L)."""
@@ -267,13 +344,13 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
             W, Zw, Yeq, Yw = st
             rho_eq = rho_v[0] * eq_scale
             rho_w = rho_rows(rho_v, boost)
-            factor(rho_v, rho_w)  # writes Sinv_s
+            slv = make_stage_solver(rho_v, rho_w)
 
             def body(_, st):
                 W, Zw, Yeq, Yw = st
                 weq = rho_eq[None, None, :] * beq - Yeq
                 rhs = sigma * W - qv + eq_applyT(weq) + rho_w * Zw - Yw
-                Wt = solve(rhs)
+                Wt = slv(rhs)
                 Req = eq_apply(Wt)
                 Wn = alpha * Wt + (1.0 - alpha) * W
                 Zeq_pre = alpha * Req + (1.0 - alpha) * beq
@@ -354,11 +431,22 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
 
 
 def _solver_scratch(N: int, lanes: int):
-    """VMEM scratch for the rolled stage loops: stage data / factors /
-    substitution buffers.  Total f32 VMEM: (N+1) x (25 + 3x5) x lanes x 4 B
-    + N x 15 x lanes — ~2.1 MB at N=30, lanes=128; linear in N (N=100:
-    ~6.8 MB), which is what lets horizons >> 30 fit the 16 MB budget."""
+    """VMEM scratch for the rolled (N > 32) stage loops: stage data /
+    factors / substitution buffers.  Total f32 VMEM: (N+1) x (25 + 15) x
+    lanes x 4 B + 2N x 15 x lanes — linear in N (~7 MB at N=100, 128
+    lanes), which is what lets horizons >> 30 fit the 16 MB budget.  The
+    N <= 32 fast path keeps everything in SSA values instead; its scratch
+    is minimal placeholders (the kernel never touches them)."""
     f32 = jnp.float32
+    if N <= 32:
+        return [
+            pltpu.VMEM((1, 1, 1, lanes), f32),  # AB_s (unused)
+            pltpu.VMEM((1, 1, 1, lanes), f32),  # C_s (unused)
+            pltpu.VMEM((1, 1, lanes), f32),  # diag_s (unused)
+            pltpu.VMEM((1, 1, 1, lanes), f32),  # Sinv_s (unused)
+            pltpu.VMEM((1, 1, lanes), f32),  # v_s (unused)
+            pltpu.VMEM((1, 1, lanes), f32),  # w_s (unused)
+        ]
     return [
         pltpu.VMEM((N, NX, NW, lanes), f32),  # AB_s (stage-indexed reads)
         pltpu.VMEM((N, NX, NW, lanes), f32),  # C_s (coupling, per factor)
