@@ -124,3 +124,122 @@ def random_box_qp(rng, n=20, m=30, eq_rows=5):
     l[:eq_rows] = center[:eq_rows]
     u[:eq_rows] = center[:eq_rows]
     return P, q, A, l, u
+
+
+def solve_qp_ip_f64(P, q, A, l, u, max_iter=60, tol=1e-10):
+    """Primal-dual interior-point solve of min 1/2 x'Px + q'x, l <= Ax <= u.
+
+    Second, algorithmically INDEPENDENT float64 oracle (the ADMM oracle
+    above is first-order and conditions badly on some strictly convex
+    configs, e.g. Q2 > 0 — thousands of iterations per QP).  Rows with
+    l == u are treated as hard equalities; box rows may be one-sided
+    (infinite bounds dropped).  Standard path-following with Mehrotra-style
+    centering and fraction-to-boundary steps; each iteration is one dense
+    KKT solve — milliseconds at MPC sizes (153 vars).
+
+    Returns (x, info) with info = {"iters", "gap", "r_prim", "r_dual"}.
+    """
+    P = np.asarray(P, np.float64)
+    q = np.asarray(q, np.float64)
+    A = np.asarray(A, np.float64)
+    l = np.asarray(l, np.float64)
+    u = np.asarray(u, np.float64)
+    n = q.shape[0]
+
+    is_eq = (u - l) < 1e-12
+    Ae = A[is_eq]
+    be = u[is_eq]
+    Ai = A[~is_eq]
+    li = l[~is_eq]
+    ui = u[~is_eq]
+    has_l = np.isfinite(li)
+    has_u = np.isfinite(ui)
+    me = Ae.shape[0]
+
+    # strictly feasible-ish start
+    x = np.zeros(n)
+    y = np.zeros(me)
+    t0 = Ai @ x
+    sl = np.where(has_l, np.maximum(t0 - li, 1.0), 1.0)
+    su = np.where(has_u, np.maximum(ui - t0, 1.0), 1.0)
+    zl = np.ones_like(sl)
+    zu = np.ones_like(su)
+    zl[~has_l] = 0.0
+    zu[~has_u] = 0.0
+    sl[~has_l] = 1.0
+    su[~has_u] = 1.0
+
+    nc = int(has_l.sum() + has_u.sum())
+
+    def residuals(x, y, zl, zu, sl, su):
+        rd = P @ x + q + Ae.T @ y - Ai.T @ (zl * has_l) + Ai.T @ (zu * has_u)
+        rpe = Ae @ x - be
+        t = Ai @ x
+        rl = np.where(has_l, t - li - sl, 0.0)
+        ru = np.where(has_u, ui - t - su, 0.0)
+        return rd, rpe, rl, ru
+
+    for it in range(max_iter):
+        rd, rpe, rl, ru = residuals(x, y, zl, zu, sl, su)
+        mu = ((sl * zl * has_l).sum() + (su * zu * has_u).sum()) / max(nc, 1)
+        if (max(np.abs(rd).max(), np.abs(rpe).max() if me else 0.0,
+                np.abs(rl).max() if rl.size else 0.0,
+                np.abs(ru).max() if ru.size else 0.0) < tol and mu < tol):
+            break
+
+        sigma_c = 0.1 if mu > 1e-12 else 0.0
+        mu_t = sigma_c * mu
+
+        # eliminate (sl, zl, su, zu): diagonal row weights on Ai.
+        # Newton elimination gives (P + Ai' (dl+du) Ai) dx + Ae' dy =
+        #   -(Px + q + Ae'y) + Ai'(mu_t/sl - dl rl) - Ai'(mu_t/su - du ru)
+        # (the -Ai'zl + Ai'zu of r_dual cancels against the dzl/dzu terms).
+        dl = np.where(has_l, zl / np.maximum(sl, 1e-300), 0.0)
+        du = np.where(has_u, zu / np.maximum(su, 1e-300), 0.0)
+        gl = np.where(has_l, mu_t / np.maximum(sl, 1e-300) - dl * rl, 0.0)
+        gu = np.where(has_u, mu_t / np.maximum(su, 1e-300) - du * ru, 0.0)
+
+        H = P + Ai.T @ (np.diag(dl + du) @ Ai)
+        rhs_x = -(P @ x + q + Ae.T @ y) + Ai.T @ (gl - gu)
+        K = np.zeros((n + me, n + me))
+        K[:n, :n] = H
+        K[:n, n:] = Ae.T
+        K[n:, :n] = Ae
+        rhs = np.concatenate([rhs_x, -rpe])
+        sol = np.linalg.solve(K + 1e-12 * np.eye(n + me), rhs)
+        dx = sol[:n]
+        dy = sol[n:]
+
+        dAix = Ai @ dx
+        dsl = np.where(has_l, rl + dAix, 0.0)
+        dsu = np.where(has_u, ru - dAix, 0.0)
+        dzl = np.where(has_l,
+                       (mu_t - zl * dsl) / np.maximum(sl, 1e-300) - zl, 0.0)
+        dzu = np.where(has_u,
+                       (mu_t - zu * dsu) / np.maximum(su, 1e-300) - zu, 0.0)
+
+        # fraction-to-boundary
+        def max_step(v, dv, mask):
+            neg = mask & (dv < 0)
+            if not neg.any():
+                return 1.0
+            return min(1.0, 0.995 * np.min(-v[neg] / dv[neg]))
+
+        ap = min(max_step(sl, dsl, has_l), max_step(su, dsu, has_u))
+        ad = min(max_step(zl, dzl, has_l), max_step(zu, dzu, has_u))
+        a = min(ap, ad)
+
+        x += a * dx
+        y += a * dy
+        sl = np.where(has_l, sl + a * dsl, sl)
+        su = np.where(has_u, su + a * dsu, su)
+        zl = np.where(has_l, zl + a * dzl, zl)
+        zu = np.where(has_u, zu + a * dzu, zu)
+
+    rd, rpe, rl, ru = residuals(x, y, zl, zu, sl, su)
+    mu = ((sl * zl * has_l).sum() + (su * zu * has_u).sum()) / max(nc, 1)
+    return x, {"iters": it + 1, "gap": float(mu),
+               "r_dual": float(np.abs(rd).max()),
+               "r_prim": float(max(np.abs(rpe).max() if me else 0.0,
+                                   np.abs(np.minimum(rl, 0)).max() if rl.size else 0.0,
+                                   np.abs(np.minimum(ru, 0)).max() if ru.size else 0.0))}

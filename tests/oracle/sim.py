@@ -14,7 +14,7 @@ import math
 import numpy as np
 
 from tests.oracle.corridor import free_segments_oracle, select_corridor_oracle
-from tests.oracle.qp import solve_qp_f64
+from tests.oracle.qp import solve_qp_f64, solve_qp_ip_f64
 
 
 def assemble_dense_qp(path, cfg, model, wp_id, e_y, e_psi, kappa_pred, ub, lb):
@@ -91,8 +91,16 @@ def locate(path, s):
 
 
 def simulate_oracle(occ, origin, res, path, cfg, model, T, K=128, S=8,
-                    qp_eps=1e-9):
-    """Run T closed-loop steps; returns per-step logs as a dict of arrays."""
+                    qp_eps=1e-9, qp_max_iter=40000, progress=None,
+                    qp_solver="admm"):
+    """Run T closed-loop steps; returns per-step logs as a dict of arrays.
+
+    ``qp_solver``: "admm" (first-order float64, the default historical
+    oracle) or "ip" (primal-dual interior point, ~5000x faster at 1e-10 on
+    strictly convex configs where the ADMM iteration conditions badly, e.g.
+    Q2 > 0; the two agree to ~1e-7 where both converge).
+    ``qp_eps``/``qp_max_iter`` apply to the admm solver.
+    ``progress``: optional int — print a heartbeat every that-many steps."""
     N = cfg.N
     sm = model.safety_margin
     n_wp = len(path["x"])
@@ -108,7 +116,17 @@ def simulate_oracle(occ, origin, res, path, cfg, model, T, K=128, S=8,
 
     logs = {k: [] for k in ("x", "y", "psi", "v", "delta", "s", "e_y",
                             "solved", "ub", "lb")}
+    # pre-step controller state, for per-step parity tests that drive the
+    # framework's step from the oracle's exact state (x, y, psi, s, u_seq,
+    # infeasibility counter)
+    logs["pre"] = []
+    import sys as _sys
+    import time as _time
+    _t0 = _time.time()
     for t in range(T):
+        if progress and t % progress == 0:
+            print(f"oracle step {t}/{T} ({_time.time()-_t0:.0f}s)", flush=True)
+        logs["pre"].append((x, y, psi, s, u_seq.copy(), ic))
         wp_id = locate(path, s)
         wx, wy, wpsi = path["x"][wp_id], path["y"][wp_id], path["psi"][wp_id]
         e_y = math.cos(wpsi) * (y - wy) - math.sin(wpsi) * (x - wx)
@@ -130,9 +148,21 @@ def simulate_oracle(occ, origin, res, path, cfg, model, T, K=128, S=8,
         # wp_id+1..wp_id+N and lands on the x_1..x_N bounds (MPC.py:116-122)
         P, q, A_full, l, u = assemble_dense_qp(path, cfg, model, wp_id,
                                                e_y, e_psi, kappa_pred, ub, lb)
-        xs, ys_, _ = solve_qp_f64(P, q, A_full, l, u, eps=qp_eps,
-                                  x0=xw, y0=yw, max_iter=40000)
-        xw, yw = xs, ys_
+        if qp_solver == "ip":
+            xs, _info = solve_qp_ip_f64(P, q, A_full, l, u)
+            if max(_info["gap"], _info["r_dual"], _info["r_prim"]) > 1e-6:
+                # Marginally infeasible instances (pinched corridor + pinned
+                # x0) have no strictly feasible point; the IP stalls there by
+                # construction, while ADMM converges to the least-violation
+                # optimum (what OSQP — and the framework — return).  Fall
+                # back to the high-accuracy first-order oracle, warm-started
+                # from the IP iterate.  ~5 of 220 Sim_Track steps (measured).
+                xs, _, _ = solve_qp_f64(P, q, A_full, l, u, eps=1e-8,
+                                        x0=xs, max_iter=60000)
+        else:
+            xs, ys_, _ = solve_qp_f64(P, q, A_full, l, u, eps=qp_eps,
+                                      x0=xw, y0=yw, max_iter=qp_max_iter)
+            xw, yw = xs, ys_
         r_prim = np.max(np.maximum(A_full @ xs - u, 0) +
                         np.maximum(l - A_full @ xs, 0))
         # acceptance threshold mirrors the framework's (MPCConfig.feas_tol):
@@ -166,7 +196,10 @@ def simulate_oracle(occ, origin, res, path, cfg, model, T, K=128, S=8,
             logs[k].append(val)
         if s >= path["length"]:
             break
-    return {k: np.asarray(v) for k, v in logs.items()}
+    pre = logs.pop("pre")
+    out = {k: np.asarray(v) for k, v in logs.items()}
+    out["pre"] = pre
+    return out
 
 
 def path_to_dict(path) -> dict:
