@@ -102,10 +102,12 @@ class SolverConfig:
     # feasibility + optimality gap, not elementwise solution match.
     eps_abs: float = 1e-3
     eps_rel: float = 1e-3
-    # Lane-tile width for the fused TPU kernels (multiple of 128).  128 is
-    # the VMEM-safe setting: at N=30 the ADMM kernel plus XLA's scoped
-    # allocations around the custom call sit just under the 16 MB budget —
-    # 256+ lanes OOM scoped vmem at batch 4096 (measured).
+    # Lane-tile width for the fused TPU kernels (multiple of 128).  With the
+    # rolled stage loops over VMEM scratch (round 2), 256 lanes compiles and
+    # runs at N=30/batch 4096 (round 1's scoped-vmem OOM is gone), but is
+    # ~4% slower than 128 on a v5e (measured 131k vs 136k steps/s): the
+    # wider tile halves the grid without improving VPU occupancy.  128 stays
+    # the default.
     kernel_lanes: int = 128
 
 

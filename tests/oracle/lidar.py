@@ -18,6 +18,17 @@ Faithfulness notes:
     false — those cells update no beams.  They lie behind the sensor, outside
     a 180-degree FoV, so for the shipped FoV the branch is unreachable; we
     replicate it anyway (faithful > intended here, it cannot matter).
+  * quirk Q7 — the reference's per-corner wrap for ``cell_angle < -pi``
+    (:79-80, ``-np.mod(pi + a, 2pi) + pi``) MIRRORS the angle: a true
+    relative bearing of +0.54 rad becomes -0.54 rad.  The branch is live
+    whenever |car psi| > pi/2 - FoV/2 puts the atan2 seam (world bearing
+    +-pi) inside the FoV cone; there the reference hallucinates the
+    obstacle at the mirrored beam and misses it at the true beam (measured:
+    Real_Track pose (-13.35, -3.33, psi 2.69), cell 3.74 m out at bearing
+    +0.541 updates beam -0.541).  Per the quirks policy (SURVEY.md section 7)
+    this oracle implements the INTENDED semantics — a proper wrap into
+    (-pi, pi] — which the span test then makes exactly equivalent to
+    ray-square intersection, matching ``ops/lidar.scan``'s two modes.
 """
 
 from __future__ import annotations
@@ -67,10 +78,9 @@ def scan_oracle(occ: np.ndarray, origin, resolution: float,
                     dy = yt + l / 2 - yc
                     dx = xt + k / 2 - xc
                     a = math.atan2(dy, dx) - car_psi
-                    if a < -math.pi:
-                        a = -math.fmod(math.pi + a, 2 * math.pi) + math.pi
-                    else:
-                        a = math.fmod(math.pi + a, 2 * math.pi) - math.pi
+                    # intended wrap into (-pi, pi] (see quirk Q7 above; the
+                    # reference's own branch mirrors angles below -pi)
+                    a = -((math.pi - a) % (2 * math.pi)) + math.pi
                     cell_angles.append(a)
             amin = min(cell_angles)
             amax = max(cell_angles)
