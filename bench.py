@@ -234,6 +234,32 @@ def check():
     ker60 = solve_ltv_qp_pallas(qp60, states60.solver, cfg.solver,
                                 lanes=cfg.solver.kernel_lanes)
     _assert_solver_agreement("solve_ltv_qp_pallas[N=60]", ker60, ref60, cfg)
+
+    # --- gate 5: scanline-extraction kernel (VMEM-resident grid) vs gather ---
+    from multi_purpose_mpc_tpu.ops.corridor_extract import (
+        build_scanline_table, extract_occ_gather, extract_occ_pallas,
+        horizon_tables)
+
+    table = build_scanline_table(grid, path, cfg.n_scan_samples)
+    idxh = jax.vmap(lambda w: gather_waypoint_index(path, w + 1,
+                                                    jnp.arange(cfg.N)))(wp_id)
+    pxh, pyh, _, _, _, row0h = horizon_tables(table, idxh)
+    # per-lane grids, salted so lanes differ
+    occ_b = np.broadcast_to(np.asarray(grid.occ),
+                            (B,) + grid.occ.shape).copy()
+    r2 = np.random.default_rng(11)
+    for b in range(B):
+        occ_b[b, r2.integers(0, grid.occ.shape[0], 32),
+              r2.integers(0, grid.occ.shape[1], 32)] = 0.0
+    occ_b = jnp.asarray(occ_b)
+    v_ker = extract_occ_pallas(occ_b, pxh, pyh, row0h, table.window_rows)
+    v_ref = jax.jit(extract_occ_gather)(occ_b, pxh, pyh)
+    np.testing.assert_array_equal(np.asarray(v_ker), np.asarray(v_ref))
+    v_ker_sh = extract_occ_pallas(grid.occ, pxh, pyh, row0h,
+                                  table.window_rows)
+    v_ref_sh = jax.jit(extract_occ_gather)(grid.occ, pxh, pyh)
+    np.testing.assert_array_equal(np.asarray(v_ker_sh), np.asarray(v_ref_sh))
+    print("check[extract_occ_pallas]: OK (per-lane + shared, bitwise)")
     print(json.dumps({"check": "ok", "lanes": int(B),
                       "device": str(jax.devices()[0])}))
 

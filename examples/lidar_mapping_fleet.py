@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--shared", action="store_true",
                     help="one cooperatively-built map instead of per-lane")
+    ap.add_argument("--scan-backend", default="auto",
+                    choices=["auto", "march", "cells"],
+                    help="march = point-sampled ray march; cells = exact "
+                         "corner-span dense sweep (TPU fast path)")
     ap.add_argument("--out", default="/tmp/lidar_fleet_map.png")
     args = ap.parse_args()
 
@@ -61,7 +65,7 @@ def main():
     res, occ = simulate_lidar_fleet(
         true_grid, known0, path, mpc_cfg, model_cfg,
         SimConfig(max_steps=args.steps, static_grid=False), lidar, fleet0,
-        shared_grid=args.shared)
+        shared_grid=args.shared, scan_backend=args.scan_backend)
 
     act = np.asarray(res.log.active)
     print(f"batch {args.batch}, {args.steps} steps, "

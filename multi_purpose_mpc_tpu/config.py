@@ -150,6 +150,11 @@ class MPCConfig:
     # (VMEM-resident ADMM, the fast path), "xla" = vmapped stage-scan solver
     # (portable), "auto" = pallas on TPU, xla elsewhere.
     solver_backend: str = "auto"
+    # Dynamic-grid scanline occupancy extraction backend (LiDAR-in-the-loop
+    # fleets): "pallas" = VMEM-resident-grid kernel, "onehot" = XLA one-hot
+    # matmul, "gather" = plain indexed read (fastest on CPU; XLA serializes
+    # it on TPU), "auto" = pallas on TPU, gather elsewhere.
+    extract_backend: str = "auto"
 
     @property
     def nx(self) -> int:
@@ -192,7 +197,14 @@ class SimConfig:
 
 @dataclasses.dataclass(frozen=True)
 class LidarConfig:
-    """Lidar sensor model (reference: lidar_model.py:10-35)."""
+    """Lidar sensor model (reference: lidar_model.py:10-35).
+
+    ``n_ray_samples`` is a fidelity knob: ``conservative=True`` scans are
+    cell-exact (reference corner-span semantics) only when the sample
+    spacing ``range / (n_ray_samples - 1)`` is below the grid resolution —
+    coarser sampling silently skips thin intersected cells.  Check with
+    :meth:`validate_for_grid` at setup time.
+    """
 
     FoV: float = 180.0  # degrees
     range: float = 5.0  # m
@@ -202,6 +214,17 @@ class LidarConfig:
     @property
     def n_beams(self) -> int:
         return int(self.FoV / self.resolution + 1)
+
+    def validate_for_grid(self, grid_resolution: float) -> None:
+        """Raise if conservative-mode exactness would quietly degrade on a
+        grid of the given resolution (m/px)."""
+        spacing = self.range / max(self.n_ray_samples - 1, 1)
+        if spacing >= grid_resolution:
+            raise ValueError(
+                f"LidarConfig sample spacing {spacing:.4g} m >= grid "
+                f"resolution {grid_resolution:.4g} m/px: conservative-mode "
+                f"scans can skip intersected cells; need n_ray_samples > "
+                f"{int(self.range / grid_resolution) + 1}")
 
 
 def time_optimal_config(cfg: MPCConfig, t_weight: float = 100.0,

@@ -51,17 +51,26 @@ class Corridor(NamedTuple):
     border_lb: jnp.ndarray  # (..., N, 2)
 
 
-def free_segments(grid: GridMap, p_ub, p_lb, min_width,
-                  n_samples: int, max_segments: int) -> SegmentCandidates:
-    """Free segments along the scanline from border point p_ub to p_lb.
+def segments_from_samples(occ, cx, cy, min_width,
+                          max_segments: int) -> SegmentCandidates:
+    """Free segments from already-sampled scanline occupancy.
 
-    Single waypoint; vmap over a horizon/path axis.  Endpoints follow the
+    ``occ`` (K,) occupancy at the samples (1=free, 0=occupied/OOB);
+    ``cx``/``cy`` (K,) world coordinates of the sample cell centers.  Single
+    scanline; vmap over horizon/path/fleet axes.  Endpoints follow the
     reference convention: the occupied (or border) cells *delimiting* a free
     run (reference_path.py:488-518), converted to world via cell centers.
+
+    Shared by :func:`free_segments` (in-place gather) and the fleet-scale
+    table-based extraction (:mod:`~multi_purpose_mpc_tpu.ops.corridor_extract`).
+
+    Fully vectorized: run extraction and front-compaction use cumsum +
+    one-hot reductions, not flatnonzero/gather — at fleet scale this runs
+    B x N instances per step, and XLA lowers sorts/gathers poorly on TPU
+    while these (raw, K) masked reductions ride the VPU.
     """
-    s = sample_line(grid, p_ub[0], p_ub[1], p_lb[0], p_lb[1], n_samples)
-    free = s.occ > 0.5  # (K,)
-    K = n_samples
+    free = occ > 0.5  # (K,)
+    K = occ.shape[-1]
 
     prev_free = jnp.concatenate([jnp.array([False]), free[:-1]])
     next_free = jnp.concatenate([free[1:], jnp.array([False])])
@@ -71,33 +80,54 @@ def free_segments(grid: GridMap, p_ub, p_lb, min_width,
     # Extract ALL runs first (a K-sample line has at most K//2 + 1 of them),
     # then width-filter and compact to max_segments — truncating raw runs
     # before filtering could drop passing segments behind narrow ones.
-    raw = n_samples // 2 + 1
-    start_idx = jnp.flatnonzero(starts, size=raw, fill_value=-1)
-    end_idx = jnp.flatnonzero(ends, size=raw, fill_value=-1)
-    valid = start_idx >= 0
+    raw = K // 2 + 1
+    rs = jnp.cumsum(starts)  # run ordinal (1-based) at each start mark
+    re_ = jnp.cumsum(ends)
+    r_iota = jnp.arange(1, raw + 1)  # (raw,)
+    k_iota = jnp.arange(K)
+    sOH = starts[None, :] & (rs[None, :] == r_iota[:, None])  # (raw, K)
+    eOH = ends[None, :] & (re_[None, :] == r_iota[:, None])
+    start_idx = (sOH * k_iota[None, :]).sum(axis=1)
+    end_idx = (eOH * k_iota[None, :]).sum(axis=1)
+    valid = r_iota <= rs[-1]  # run exists
 
     # delimiting samples: one before the run start / one after the run end,
     # clamped at the scanline borders (matches the reference's init-at-border)
     ub_i = jnp.maximum(start_idx - 1, 0)
     lb_i = jnp.minimum(end_idx + 1, K - 1)
 
-    ubx, uby = m2w(grid, s.px[ub_i], s.py[ub_i])
-    lbx, lby = m2w(grid, s.px[lb_i], s.py[lb_i])
-    ub_xy = jnp.stack([ubx, uby], -1)
-    lb_xy = jnp.stack([lbx, lby], -1)
+    uOH = ub_i[:, None] == k_iota[None, :]  # (raw, K)
+    lOH = lb_i[:, None] == k_iota[None, :]
+    ubx = (uOH * cx[None, :]).sum(axis=1)
+    uby = (uOH * cy[None, :]).sum(axis=1)
+    lbx = (lOH * cx[None, :]).sum(axis=1)
+    lby = (lOH * cy[None, :]).sum(axis=1)
 
-    width = jnp.hypot(ub_xy[:, 0] - lb_xy[:, 0], ub_xy[:, 1] - lb_xy[:, 1])
+    width = jnp.hypot(ubx - lbx, uby - lby)
     valid = valid & (width > min_width)
 
     # Compact passing segments to the front, preserving order — the reference
     # appends only passing segments to its candidate list
     # (reference_path.py:509-512), and the selection logic indexes that list.
-    keep = jnp.flatnonzero(valid, size=max_segments, fill_value=max_segments)
-    pad_row = jnp.zeros((1, 2), ub_xy.dtype)
-    ub_xy = jnp.concatenate([ub_xy, pad_row])[keep]
-    lb_xy = jnp.concatenate([lb_xy, pad_row])[keep]
-    valid = jnp.concatenate([valid, jnp.array([False])])[keep]
-    return SegmentCandidates(ub_xy=ub_xy, lb_xy=lb_xy, valid=valid)
+    pos = jnp.cumsum(valid) - 1  # output slot of each passing run
+    s_iota = jnp.arange(max_segments)
+    cOH = valid[None, :] & (pos[None, :] == s_iota[:, None])  # (S, raw)
+    ub_xy = jnp.stack([(cOH * ubx[None, :]).sum(axis=1),
+                       (cOH * uby[None, :]).sum(axis=1)], -1)
+    lb_xy = jnp.stack([(cOH * lbx[None, :]).sum(axis=1),
+                       (cOH * lby[None, :]).sum(axis=1)], -1)
+    return SegmentCandidates(ub_xy=ub_xy, lb_xy=lb_xy, valid=cOH.any(axis=1))
+
+
+def free_segments(grid: GridMap, p_ub, p_lb, min_width,
+                  n_samples: int, max_segments: int) -> SegmentCandidates:
+    """Free segments along the scanline from border point p_ub to p_lb.
+
+    Single waypoint; vmap over a horizon/path axis.
+    """
+    s = sample_line(grid, p_ub[0], p_ub[1], p_lb[0], p_lb[1], n_samples)
+    cx, cy = m2w(grid, s.px, s.py)
+    return segments_from_samples(s.occ, cx, cy, min_width, max_segments)
 
 
 def select_corridor(path: PathData, idx, segs: SegmentCandidates,

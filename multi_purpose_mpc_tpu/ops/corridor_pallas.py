@@ -152,21 +152,48 @@ def corridor_select_pallas(path: PathData, all_segs: SegmentCandidates,
                            safety_margin: float,
                            lanes: int = DEFAULT_LANES,
                            interpret: bool = False) -> Corridor:
-    """Batched corridor from precomputed candidates via the fused kernel.
+    """Batched corridor from precomputed per-waypoint candidates via the
+    fused kernel (static-grid fast path).
 
     ``wp_id``: (B,) horizon start indices (callers pass ``wp_id + 1`` like
     the reference, MPC.py:116).  Returns a Corridor with leading batch axis.
     """
     N = cfg.N
-    S = all_segs.valid.shape[-1]
     B = wp_id.shape[0]
+    offs = jnp.arange(N)
+    idx = jax.vmap(lambda w: gather_waypoint_index(path, w, offs))(wp_id)  # (B, N)
+    segs = SegmentCandidates(ub_xy=all_segs.ub_xy[idx],
+                             lb_xy=all_segs.lb_xy[idx],
+                             valid=all_segs.valid[idx])
+    return corridor_select_pallas_segs(path, segs, idx, cfg, safety_margin,
+                                       lanes=lanes, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "safety_margin", "lanes", "interpret"))
+def corridor_select_pallas_segs(path: PathData, segs: SegmentCandidates,
+                                idx: jnp.ndarray, cfg: MPCConfig,
+                                safety_margin: float,
+                                lanes: int = DEFAULT_LANES,
+                                interpret: bool = False) -> Corridor:
+    """Batched corridor from per-(lane, horizon-step) candidates — the
+    dynamic-grid path (LiDAR-in-the-loop fleets extract per-lane segments
+    each step and select here).  ``segs`` leading (B, N, S); ``idx`` (B, N)
+    horizon waypoint indices.
+    """
+    N = cfg.N
+    S = segs.valid.shape[-1]
+    B = idx.shape[0]
     pad = (-B) % lanes
     if pad:
-        wp_id = jnp.concatenate([wp_id, jnp.broadcast_to(wp_id[:1], (pad,))])
+        padB = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+        idx = padB(idx)
+        segs = SegmentCandidates(ub_xy=padB(segs.ub_xy),
+                                 lb_xy=padB(segs.lb_xy),
+                                 valid=padB(segs.valid))
     Bp = B + pad
 
-    offs = jnp.arange(N)
-    idx = jax.vmap(lambda w: gather_waypoint_index(path, w, offs))(wp_id)  # (Bp, N)
     prev_idx = jnp.concatenate([idx[:, :1], idx[:, :-1]], axis=1)
 
     t2 = lambda a: jnp.transpose(a, (1, 0))  # (Bp, N) -> (N, Bp)
@@ -180,9 +207,9 @@ def corridor_select_pallas(path: PathData, all_segs: SegmentCandidates,
     cprev = t2(jnp.cos(ppsi))
     sprev = t2(jnp.sin(ppsi))
 
-    ubxy = jnp.transpose(all_segs.ub_xy[idx], (1, 2, 3, 0))  # (N, S, 2, Bp)
-    lbxy = jnp.transpose(all_segs.lb_xy[idx], (1, 2, 3, 0))
-    valid = jnp.transpose(all_segs.valid[idx].astype(jnp.float32), (1, 2, 0))
+    ubxy = jnp.transpose(segs.ub_xy, (1, 2, 3, 0))  # (N, S, 2, Bp)
+    lbxy = jnp.transpose(segs.lb_xy, (1, 2, 3, 0))
+    valid = jnp.transpose(segs.valid.astype(jnp.float32), (1, 2, 0))
 
     kernel = _make_kernel(N, S, float(safety_margin))
 

@@ -63,8 +63,17 @@ def scan(grid: GridMap, x, y, psi, cfg: LidarConfig,
     every intersected cell) and min-update with the distance to the cell
     center, matching the reference's measurement (:91-108) including
     corner-grazing hits the point-sampled march can miss.  9 lookups per
-    sample; use for fidelity-critical scans.
+    sample; use for fidelity-critical scans.  Exactness requires sample
+    spacing < 1 cell — ``cfg.validate_for_grid(resolution)`` checks it at
+    setup (here the grid resolution is usually a tracer, so the check is
+    best-effort on concrete inputs only).
     """
+    if conservative:
+        try:
+            cfg.validate_for_grid(float(grid.resolution))
+        except (jax.errors.TracerArrayConversionError, TypeError,
+                jax.errors.ConcretizationTypeError):
+            pass  # under jit: caller should validate at setup time
     angles = beam_angles(cfg)
     # sensor at the car cell's center (lidar_model.py:54-56)
     px, py = w2m(grid, x, y)
@@ -130,10 +139,239 @@ def scan(grid: GridMap, x, y, psi, cfg: LidarConfig,
                      hit_xy=jnp.stack([hx, hy], -1))
 
 
+def occupied_cell_table(occ, pad_multiple: int = 1024):
+    """Static setup for :func:`scan_fleet`'s "cells" backend: pixel coords of
+    every occupied BOUNDARY cell of a STATIC true grid, host-side (numpy),
+    padded with out-of-world dummies to a static multiple.  Returns (M, 2)
+    int32 with dummies at (-10**6, -10**6).
+
+    Boundary-only is exact (not an approximation) whenever the sensor sits
+    in FREE space: the ray's intersected-cell chain starts at the (free)
+    sensor cell, so the nearest occupied chain cell has a free, 8-adjacent
+    chain predecessor (edge entry -> 4-adjacent, corner entry -> diagonal).
+    Interior occupied cells can never win the min.  A sensor *inside* an
+    obstacle (a crashed lane) sees only the obstacle's shell — physically
+    moot, and such lanes are failed/masked anyway.  Out-of-image counts as
+    free here (the reference never updates from out-of-image cells,
+    lidar_model.py:63-65), keeping image-edge walls.  On track maps this
+    prunes the table ~20x (solid out-of-track fill)."""
+    import numpy as np
+
+    occ_np = np.asarray(occ)
+    occupied = occ_np < 0.5
+    free_p = np.pad(~occupied, 1, constant_values=True)
+    near_free = np.zeros_like(occupied)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            near_free |= free_p[dy:dy + occ_np.shape[0],
+                                dx:dx + occ_np.shape[1]]
+    ys, xs = np.nonzero(occupied & near_free)
+    n = xs.shape[0]
+    M = max(((n + pad_multiple - 1) // pad_multiple) * pad_multiple,
+            pad_multiple)
+    px = np.full(M, -10**6, np.int32)
+    py = np.full(M, -10**6, np.int32)
+    px[:n] = xs
+    py[:n] = ys
+    return jnp.asarray(np.stack([px, py], axis=1))
+
+
+def scan_fleet(grid: GridMap, x, y, psi, cfg: LidarConfig,
+               cells: jnp.ndarray | None = None, backend: str = "auto",
+               chunk: int = 2048) -> LidarScan:
+    """Batched scans for a fleet of poses (x, y, psi each (B,)).
+
+    backends:
+      * ``march`` — vmapped :func:`scan` (first occupied point-sample per
+        beam).  Portable, but B x n_beams x K random grid gathers per call,
+        which XLA serializes on TPU (~0.5 us each).
+      * ``cells`` — TPU-native reformulation of the reference's per-cell
+        sweep (lidar_model.py:62-108): iterate the STATIC true grid's
+        occupied-cell list (``cells``, precomputed once at setup by
+        :func:`occupied_cell_table`) and test every (lane, cell, beam)
+        triple with the same ray-square-intersection reduction as
+        ``scan(conservative=True)`` — dense VPU math, zero gathers.
+        Semantics are therefore the reference's EXACT corner-span scan.
+      * ``auto`` — ``cells`` on TPU when a cell table is given, else
+        ``march``.
+
+    Tie-breaking between equidistant hit cells is deterministic (smaller
+    pixel-x, then chunk order) but may differ from ``scan(conservative)``'s
+    sample-order argmin on exact ties; measured ranges are identical.
+    """
+    if backend == "auto":
+        backend = ("cells" if cells is not None
+                   and jax.default_backend() == "tpu" else "march")
+    if backend == "march":
+        return jax.vmap(lambda a, b, c: scan(grid, a, b, c, cfg))(x, y, psi)
+    if backend != "cells":
+        raise ValueError(f"unknown scan backend {backend!r}")
+    if cells is None:
+        raise ValueError("cells backend needs occupied_cell_table(true_occ)")
+
+    B = x.shape[0]
+    nb = cfg.n_beams
+    nbp = max(((nb + 127) // 128) * 128, 128)
+    res = grid.resolution
+
+    # sensor at the car cell's center (lidar_model.py:54-56)
+    spx, spy = w2m(grid, x, y)
+    cx, cy = m2w(grid, spx, spy)  # (B,)
+
+    rel = beam_angles(cfg)  # (nb,)
+    rel_p = jnp.concatenate([rel, jnp.zeros(nbp - nb, rel.dtype)])
+    wang = rel_p[None, :] + psi[:, None]  # (B, nbp)
+    ux = jnp.cos(wang)
+    uy = jnp.sin(wang)
+    support = (jnp.abs(ux) + jnp.abs(uy)) * 0.5 * res  # (B, nbp)
+
+    ccx, ccy = m2w(grid, cells[:, 0], cells[:, 1])  # (M,) world cell centers
+    M = cells.shape[0]
+    chunk = min(chunk, M)
+    while M % chunk:  # cell table is padded to a multiple of 1024
+        chunk //= 2
+    n_ch = M // chunk
+
+    BIG = jnp.float32(1e9)
+
+    def body(carry, cell_chunk):
+        acc_d, acc_px, acc_py = carry  # (B, nbp) each
+        gx, gy, gpx, gpy = cell_chunk  # (chunk,) world centers + pixel coords
+        dx = gx[None, :] - cx[:, None]  # (B, C)
+        dy = gy[None, :] - cy[:, None]
+        d = jnp.sqrt(dx * dx + dy * dy)
+        in_range = (d < cfg.range) & (d > 0.0)
+        # (B, C, nbp) pair tests — the corner-span reduction
+        along = dx[:, :, None] * ux[:, None, :] + dy[:, :, None] * uy[:, None, :]
+        perp = jnp.abs(dy[:, :, None] * ux[:, None, :]
+                       - dx[:, :, None] * uy[:, None, :])
+        hit = (along > 0.0) & (perp <= support[:, None, :]) & in_range[:, :, None]
+        dt = jnp.where(hit, d[:, :, None], BIG)  # (B, C, nbp)
+        c_d = dt.min(axis=1)  # (B, nbp)
+        # recover the winning cell's pixel coords: min over tied minima
+        is_min = (dt <= c_d[:, None, :]) & (c_d[:, None, :] < BIG)
+        c_px = jnp.where(is_min, gpx[None, :, None].astype(jnp.float32),
+                         BIG).min(axis=1)
+        c_py = jnp.where(is_min & (gpx[None, :, None].astype(jnp.float32)
+                                   == c_px[:, None, :]),
+                         gpy[None, :, None].astype(jnp.float32),
+                         BIG).min(axis=1)
+        better = c_d < acc_d
+        return (jnp.where(better, c_d, acc_d),
+                jnp.where(better, c_px, acc_px),
+                jnp.where(better, c_py, acc_py)), None
+
+    init = (jnp.full((B, nbp), BIG), jnp.full((B, nbp), BIG),
+            jnp.full((B, nbp), BIG))
+    chunks = (ccx.reshape(n_ch, chunk), ccy.reshape(n_ch, chunk),
+              cells[:, 0].reshape(n_ch, chunk),
+              cells[:, 1].reshape(n_ch, chunk))
+    (dmin, ppx, ppy), _ = jax.lax.scan(body, init, chunks)
+
+    dmin = dmin[:, :nb]
+    hit = dmin < cfg.range
+    ppx = jnp.where(hit, ppx[:, :nb], 0.0)  # avoid BIG->int32 overflow
+    ppy = jnp.where(hit, ppy[:, :nb], 0.0)
+    hx, hy = m2w(grid, ppx.astype(jnp.int32), ppy.astype(jnp.int32))
+    hx = jnp.where(hit, hx, cx[:, None] + cfg.range * ux[:, :nb])
+    hy = jnp.where(hit, hy, cy[:, None] + cfg.range * uy[:, :nb])
+    ranges = jnp.where(hit, dmin, cfg.range)
+    return LidarScan(angles=jnp.broadcast_to(rel, (B, nb)), ranges=ranges,
+                     hit=hit, hit_xy=jnp.stack([hx, hy], -1))
+
+
 def measurements(scan_out: LidarScan) -> jnp.ndarray:
     """(2, n_beams) stacked (angle, range) container — the reference's
     ``self.measurements`` layout (lidar_model.py:31-35)."""
     return jnp.stack([scan_out.angles, scan_out.ranges], axis=0)
+
+
+def _pair_mask(py, px, valid, H: int, W: int):
+    """Dense (..., H, W) mask of the (py, px) points via a one-hot matmul —
+    the MXU replacement for scatter (which XLA serializes per element).
+    ``py``/``px`` (..., S) clipped int32; ``valid`` (..., S) bool."""
+    ih = jnp.arange(H, dtype=py.dtype)
+    iw = jnp.arange(W, dtype=px.dtype)
+    rowOH = ((py[..., None, :] == ih[:, None]) & valid[..., None, :]
+             ).astype(jnp.bfloat16)  # (..., H, S)
+    colOH = (px[..., None] == iw).astype(jnp.bfloat16)  # (..., S, W)
+    counts = jnp.matmul(rowOH, colOH,
+                        preferred_element_type=jnp.float32)  # (..., H, W)
+    return counts > 0.5
+
+
+def fleet_writeback(grid: GridMap, occ: jnp.ndarray, x, y, psi,
+                    scans: LidarScan, cfg: LidarConfig,
+                    clear_free: bool = False, shared: bool = False,
+                    free_samples: int = 64,
+                    lane_chunk: int = 16) -> jnp.ndarray:
+    """Batched online map update with NO scatters: hit (and observed-free)
+    cells become dense masks via one-hot matmuls, then one elementwise grid
+    update.  Replaces per-lane ``update_grid_from_scan`` scatter-writes in
+    the fleet hot loop (measured 34 ms/step at B=256 on a v5e; the matmul
+    form is <1 ms).
+
+    ``occ`` (B, H, W) per-lane (``shared=False``) or (H, W) (``shared=True``,
+    all lanes pooled into one map); ``scans`` carries a leading B axis.
+    Semantics match the scatter path: free-space clearing first, hits after,
+    so an observed obstacle always wins (order-independent per class).
+    """
+    B = scans.ranges.shape[0]
+    h, w = occ.shape[-2:]
+
+    hpx, hpy = w2m(grid, scans.hit_xy[..., 0], scans.hit_xy[..., 1])  # (B, nb)
+    hpx = jnp.clip(hpx, 0, w - 1)
+    hpy = jnp.clip(hpy, 0, h - 1)
+
+    if clear_free:
+        fpx, fpy = jax.vmap(
+            lambda a, b, c, s: free_space_pixels(grid, a, b, c, s,
+                                                 free_samples)
+        )(x, y, psi, scans)  # (B, nb * F)
+        fvalid = jnp.ones(fpx.shape, bool)
+        if shared:
+            freemask = _pair_mask(fpy.reshape(1, -1), fpx.reshape(1, -1),
+                                  fvalid.reshape(1, -1), h, w)[0]
+        else:
+            # lane-chunked: the (B, H, nb*F) one-hot is too big in one piece
+            nch = max(B // lane_chunk, 1)
+            while B % nch:
+                nch -= 1
+            fm = jax.lax.map(
+                lambda t: _pair_mask(t[0], t[1], t[2], h, w),
+                (fpy.reshape(nch, -1, fpx.shape[-1]),
+                 fpx.reshape(nch, -1, fpx.shape[-1]),
+                 fvalid.reshape(nch, -1, fpx.shape[-1])))
+            freemask = fm.reshape(B, h, w)
+        occ = jnp.where(freemask, 1.0, occ)
+
+    if shared:
+        hitmask = _pair_mask(hpy.reshape(1, -1), hpx.reshape(1, -1),
+                             scans.hit.reshape(1, -1), h, w)[0]
+    else:
+        hitmask = _pair_mask(hpy, hpx, scans.hit, h, w)  # (B, H, W)
+    return jnp.where(hitmask, 0.0, occ)
+
+
+def free_space_pixels(grid: GridMap, x, y, psi, scan_out: LidarScan,
+                      free_samples: int = 64):
+    """Pixel coords of cells along each beam up to 95% of the measured range
+    — the cells a scan observed as free.  Returns flattened, clipped
+    ``(fpx, fpy)`` int32 arrays of length ``n_beams * free_samples``.
+    Shared by the per-lane and pooled (shared-grid) clear-free updates."""
+    h, w = grid.occ.shape
+    px, py = w2m(grid, x, y)
+    cx, cy = m2w(grid, px, py)
+    world_ang = scan_out.angles + psi
+    t = jnp.linspace(0.0, 0.95, free_samples)  # (F,)
+    rx = cx + (scan_out.ranges[:, None] * t[None, :]) * jnp.cos(world_ang)[:, None]
+    ry = cy + (scan_out.ranges[:, None] * t[None, :]) * jnp.sin(world_ang)[:, None]
+    fpx, fpy = w2m(grid, rx, ry)
+    fpx = jnp.clip(fpx.reshape(-1), 0, w - 1)
+    fpy = jnp.clip(fpy.reshape(-1), 0, h - 1)
+    return fpx, fpy
 
 
 def update_grid_from_scan(grid: GridMap, x, y, psi, scan_out: LidarScan,
@@ -152,15 +390,7 @@ def update_grid_from_scan(grid: GridMap, x, y, psi, scan_out: LidarScan,
     h, w = occ.shape
 
     if clear_free:
-        px, py = w2m(grid, x, y)
-        cx, cy = m2w(grid, px, py)
-        world_ang = scan_out.angles + psi
-        t = jnp.linspace(0.0, 0.95, free_samples)  # (F,)
-        rx = cx + (scan_out.ranges[:, None] * t[None, :]) * jnp.cos(world_ang)[:, None]
-        ry = cy + (scan_out.ranges[:, None] * t[None, :]) * jnp.sin(world_ang)[:, None]
-        fpx, fpy = w2m(grid, rx, ry)
-        fpx = jnp.clip(fpx.reshape(-1), 0, w - 1)
-        fpy = jnp.clip(fpy.reshape(-1), 0, h - 1)
+        fpx, fpy = free_space_pixels(grid, x, y, psi, scan_out, free_samples)
         occ = occ.at[fpy, fpx].max(1.0)
 
     hpx, hpy = w2m(grid, scan_out.hit_xy[:, 0], scan_out.hit_xy[:, 1])

@@ -42,12 +42,14 @@ def init_distributed(coordinator_address: Optional[str] = None,
     """Multi-host seam: guarded ``jax.distributed.initialize``.
 
     Call once per process before any backend use on a multi-host fleet
-    (TPU pod slice / multi-process CPU).  Safe to call on a single host —
-    it no-ops unless multi-process coordinates are available, either as
-    arguments or auto-detectable from the environment (TPU pod metadata, or
-    the ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``
-    variables jax itself reads).  Returns True iff distributed runtime was
-    (or already is) initialized.
+    (TPU pod slice / multi-process CPU).  Coordinates come from (in order):
+    explicit arguments, the ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``
+    /``JAX_PROCESS_ID`` env vars jax itself reads, or — on a real TPU
+    backend — pod metadata via an argument-less
+    ``jax.distributed.initialize()`` attempt (the standard pod-slice path).
+    On non-TPU backends with no coordinates it no-ops, so single-process
+    CPU/GPU runs never pay a connection timeout.  Returns True iff the
+    distributed runtime was (or already is) initialized.
 
     Tested seam status: mesh/batch logic below is unit-tested; an actual
     multi-host run needs pod hardware this environment does not have.
@@ -61,7 +63,20 @@ def init_distributed(coordinator_address: Optional[str] = None,
     explicit = coordinator_address is not None
     env = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not explicit and env is None:
-        return False  # single-process: nothing to do
+        # TPU pods self-describe: argument-less initialize() reads pod
+        # metadata.  Only attempt it on a genuine TPU backend; anywhere else
+        # a single process is the normal case, not an error.
+        try:
+            is_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            is_tpu = False
+        if not is_tpu:
+            return False  # single-process: nothing to do
+        try:
+            jax.distributed.initialize()
+            return True
+        except Exception:
+            return False  # single-host TPU VM without pod metadata
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -94,34 +94,48 @@ def _maybe_segments(grid: GridMap, path: PathData, cfg: MPCConfig,
                                 max_segments=cfg.max_segments)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "model", "sim"))
 def simulate_closed_loop(grid: GridMap, path: PathData, cfg: MPCConfig,
                          model: ModelConfig, sim: SimConfig,
-                         state0: Optional[CarState] = None) -> SimResult:
+                         state0: Optional[CarState] = None,
+                         table=None) -> SimResult:
     """Single-lane closed-loop rollout as one compiled scan.
 
     Internally runs the batched step with batch 1 so a single car still gets
     the fused Pallas solver on TPU (10x the per-lane XLA path's rate)."""
     if state0 is None:
         state0 = init_car_state(path, cfg.N)
-    segs = _maybe_segments(grid, path, cfg, model, sim)
     state_b = jax.tree.map(lambda a: a[None], state0)
-
-    def step_fn(state, _):
-        return _sim_step_batched(state, path, grid, cfg, model, segs)
-
-    final, log = jax.lax.scan(step_fn, state_b, None, length=sim.max_steps)
+    res = simulate_fleet(grid, path, cfg, model, sim, state_b, table=table)
     squeeze = lambda t: jax.tree.map(lambda a: jnp.squeeze(a, axis=1), t)
-    return SimResult(final_state=jax.tree.map(lambda a: jnp.squeeze(a, 0), final),
-                     log=squeeze(log))
+    return SimResult(
+        final_state=jax.tree.map(lambda a: jnp.squeeze(a, 0),
+                                 res.final_state),
+        log=squeeze(res.log))
+
+
+def simulate_fleet(grid: GridMap, path: PathData, cfg: MPCConfig,
+                   model: ModelConfig, sim: SimConfig, state0: CarState,
+                   table=None) -> SimResult:
+    """Fleet closed-loop rollout: ``state0`` carries a leading batch axis;
+    one scan over time, vmapped step over the fleet (SURVEY.md §2.3).
+
+    ``sim.static_grid=True`` precomputes free segments once per rollout;
+    ``False`` re-extracts every step (the semantics a changing grid needs)
+    through the scanline-table backends — same machinery as the
+    LiDAR-in-the-loop fleet, shared-grid flavor."""
+    if sim.static_grid:
+        return _simulate_fleet_static(grid, path, cfg, model, sim, state0)
+    if table is None:
+        from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
+
+        table = build_scanline_table(grid, path, cfg.n_scan_samples)
+    return _simulate_fleet_dynamic(grid, path, cfg, model, sim, state0, table)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "model", "sim"))
-def simulate_fleet(grid: GridMap, path: PathData, cfg: MPCConfig,
-                   model: ModelConfig, sim: SimConfig,
-                   state0: CarState) -> SimResult:
-    """Fleet closed-loop rollout: ``state0`` carries a leading batch axis;
-    one scan over time, vmapped step over the fleet (SURVEY.md §2.3)."""
+def _simulate_fleet_static(grid: GridMap, path: PathData, cfg: MPCConfig,
+                           model: ModelConfig, sim: SimConfig,
+                           state0: CarState) -> SimResult:
     segs = _maybe_segments(grid, path, cfg, model, sim)
 
     def step_fn(state, _):
@@ -132,13 +146,26 @@ def simulate_fleet(grid: GridMap, path: PathData, cfg: MPCConfig,
     return SimResult(final_state=final, log=log)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "model", "sim", "lidar",
-                                              "clear_free"))
+@functools.partial(jax.jit, static_argnames=("cfg", "model", "sim"))
+def _simulate_fleet_dynamic(grid: GridMap, path: PathData, cfg: MPCConfig,
+                            model: ModelConfig, sim: SimConfig,
+                            state0: CarState, table) -> SimResult:
+    def step_fn(state, _):
+        st, log = _sim_step_batched_gridded(state, path, grid, grid.occ,
+                                            cfg, model, table)
+        return st, log
+
+    final, log = jax.lax.scan(step_fn, state0, None, length=sim.max_steps)
+    return SimResult(final_state=final, log=log)
+
+
 def simulate_lidar_loop(true_grid: GridMap, known_grid: GridMap,
                         path: PathData, cfg: MPCConfig, model: ModelConfig,
                         sim: SimConfig, lidar,
                         state0: Optional[CarState] = None,
-                        clear_free: bool = False):
+                        clear_free: bool = False, table=None,
+                        scan_backend: str = "auto",
+                        writeback_backend: str = "auto"):
     """LiDAR-in-the-loop closed loop (BASELINE.json config 4).
 
     The controller never sees ``true_grid``: each step the sensor ray-marches
@@ -148,43 +175,35 @@ def simulate_lidar_loop(true_grid: GridMap, known_grid: GridMap,
     reference's out-of-repo ROS pipeline (README.md:76) as one on-device
     scan.  Corridor extraction stays in-loop (the grid changes every step).
 
+    Runs the fleet implementation at batch 1 — ONE code path (scanline
+    tables, extraction/selection backends, batched solver) regardless of
+    fleet size, so single-lane and fleet lane-0 results coincide.
+
     Returns ``(SimResult, final_known_grid)``.
     """
-    from multi_purpose_mpc_tpu.ops.lidar import scan as lidar_scan
-    from multi_purpose_mpc_tpu.ops.lidar import update_grid_from_scan
-
     if state0 is None:
         state0 = init_car_state(path, cfg.N)
-
     state0_b = jax.tree.map(lambda a: a[None], state0)
-
-    def step_fn(carry, _):
-        state, occ = carry
-        kgrid = known_grid.replace(occ=occ)
-        x0, y0, psi0 = state.x[0], state.y[0], state.psi[0]
-        s = lidar_scan(true_grid, x0, y0, psi0, lidar)
-        kgrid = update_grid_from_scan(kgrid, x0, y0, psi0, s,
-                                      lidar, clear_free=clear_free)
-        # batch-1 batched step: same solver path as the other rollouts
-        st, log = _sim_step_batched(state, path, kgrid, cfg, model,
-                                    segments=None)
-        return (st, kgrid.occ), log
-
-    (final, occ), log = jax.lax.scan(step_fn, (state0_b, known_grid.occ), None,
-                                     length=sim.max_steps)
+    res, occ = simulate_lidar_fleet(true_grid, known_grid, path, cfg, model,
+                                    sim, lidar, state0_b,
+                                    clear_free=clear_free, table=table,
+                                    scan_backend=scan_backend,
+                                    writeback_backend=writeback_backend)
     squeeze = lambda t: jax.tree.map(lambda a: jnp.squeeze(a, axis=1), t)
-    return (SimResult(final_state=jax.tree.map(lambda a: jnp.squeeze(a, 0), final),
-                      log=squeeze(log)),
-            known_grid.replace(occ=occ))
+    return (SimResult(
+        final_state=jax.tree.map(lambda a: jnp.squeeze(a, 0),
+                                 res.final_state),
+        log=squeeze(res.log)),
+        known_grid.replace(occ=jnp.squeeze(occ, 0)))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "model", "sim", "lidar",
-                                              "clear_free", "shared_grid"))
 def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
                          path: PathData, cfg: MPCConfig, model: ModelConfig,
                          sim: SimConfig, lidar, state0: CarState,
                          clear_free: bool = False,
-                         shared_grid: bool = False):
+                         shared_grid: bool = False, table=None,
+                         scan_backend: str = "auto",
+                         writeback_backend: str = "auto"):
     """Fleet-scale LiDAR-in-the-loop rollout (BASELINE.json config 4 at
     batch scale): every lane scans the true world each step, writes hits
     into its working map, and runs MPC corridor extraction against that
@@ -198,48 +217,111 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
         (Sim_Track at B=256: 256 MB).
       * ``shared_grid=True``: ONE known grid cooperatively updated by all
         lanes each step (a mapping fleet pooling observations).  Lane
-        writes commute (hits set cells occupied via min), so the update is
-        order-independent and deterministic.
+        writes commute (free-space clearing pools via max, hits via min,
+        hits applied after clears so an observed obstacle always wins), so
+        the update is order-independent and deterministic.
+
+    ``clear_free=True`` works in both modes: per-lane it refreshes each
+    lane's own map; shared it pools every lane's observed-free cells before
+    the pooled hit write.
+
+    Corridor extraction against the per-step-updated grids is the hot spot
+    (~1M scanline reads per step at batch 256); it runs through the
+    :mod:`~multi_purpose_mpc_tpu.ops.corridor_extract` backends
+    (``cfg.extract_backend``) over a precomputed :class:`ScanlineTable`
+    (``table``; built here — outside jit — when not supplied).
 
     Returns ``(SimResult, final_known_occ)``.
     """
-    from multi_purpose_mpc_tpu.ops.lidar import scan as lidar_scan
-    from multi_purpose_mpc_tpu.ops.lidar import update_grid_from_scan
+    if table is None:
+        from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
+
+        table = build_scanline_table(known_grid, path, cfg.n_scan_samples)
+    is_tpu = jax.default_backend() == "tpu"
+    if scan_backend == "auto":
+        scan_backend = "cells" if is_tpu else "march"
+    if writeback_backend == "auto":
+        writeback_backend = "dense" if is_tpu else "scatter"
+    cells = None
+    if scan_backend == "cells":
+        from multi_purpose_mpc_tpu.ops.lidar import occupied_cell_table
+
+        cells = occupied_cell_table(true_grid.occ)
+    return _simulate_lidar_fleet(true_grid, known_grid, path, cfg, model,
+                                 sim, lidar, state0, table, cells,
+                                 clear_free=clear_free,
+                                 shared_grid=shared_grid,
+                                 scan_backend=scan_backend,
+                                 writeback_backend=writeback_backend)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "model", "sim", "lidar", "clear_free", "shared_grid",
+    "scan_backend", "writeback_backend"))
+def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
+                          path: PathData, cfg: MPCConfig, model: ModelConfig,
+                          sim: SimConfig, lidar, state0: CarState, table,
+                          cells, clear_free: bool = False,
+                          shared_grid: bool = False,
+                          scan_backend: str = "march",
+                          writeback_backend: str = "scatter"):
+    from multi_purpose_mpc_tpu.ops.lidar import (fleet_writeback, scan_fleet,
+                                                 update_grid_from_scan)
 
     B = state0.x.shape[0]
     occ0 = known_grid.occ
     if not shared_grid and occ0.ndim == 2:
         occ0 = jnp.broadcast_to(occ0, (B,) + occ0.shape)
 
-    grid_axes = GridMap(occ=0, origin=None, resolution=None)
-
     def step_fn(carry, _):
         state, occ = carry
-        scans = jax.vmap(lambda x, y, p: lidar_scan(true_grid, x, y, p, lidar)
-                         )(state.x, state.y, state.psi)
+        scans = scan_fleet(true_grid, state.x, state.y, state.psi, lidar,
+                           cells=cells, backend=scan_backend)
         if shared_grid:
             kgrid = known_grid.replace(occ=occ)
-            # pooled update: flatten all lanes' hits into one write batch
-            hit_xy = scans.hit_xy.reshape(-1, 2)
-            from multi_purpose_mpc_tpu.ops.grid import w2m
+            if writeback_backend == "dense":
+                new_occ = fleet_writeback(kgrid, occ, state.x, state.y,
+                                          state.psi, scans, lidar,
+                                          clear_free=clear_free, shared=True)
+            else:
+                new_occ = kgrid.occ
+                if clear_free:
+                    # pooled free-space clearing: every lane's observed-free
+                    # cells, scatter-max (commutative) before the hit write
+                    from multi_purpose_mpc_tpu.ops.lidar import free_space_pixels
 
-            hpx, hpy = w2m(kgrid, hit_xy[:, 0], hit_xy[:, 1])
-            h, w = kgrid.occ.shape
-            hpx = jnp.clip(hpx, 0, w - 1)
-            hpy = jnp.clip(hpy, 0, h - 1)
-            val = jnp.where(scans.hit.reshape(-1), 0.0, 1.0)
-            new_occ = kgrid.occ.at[hpy, hpx].min(val)
-            st, log = _sim_step_batched(state, path, kgrid.replace(occ=new_occ),
-                                        cfg, model, segments=None)
+                    fpx, fpy = jax.vmap(
+                        lambda x, y, p, s: free_space_pixels(kgrid, x, y, p, s)
+                    )(state.x, state.y, state.psi, scans)
+                    new_occ = new_occ.at[fpy.reshape(-1),
+                                         fpx.reshape(-1)].max(1.0)
+                # pooled update: flatten all lanes' hits into one write batch
+                hit_xy = scans.hit_xy.reshape(-1, 2)
+                from multi_purpose_mpc_tpu.ops.grid import w2m
+
+                hpx, hpy = w2m(kgrid, hit_xy[:, 0], hit_xy[:, 1])
+                h, w = kgrid.occ.shape
+                hpx = jnp.clip(hpx, 0, w - 1)
+                hpy = jnp.clip(hpy, 0, h - 1)
+                val = jnp.where(scans.hit.reshape(-1), 0.0, 1.0)
+                new_occ = new_occ.at[hpy, hpx].min(val)
+            st, log = _sim_step_batched_gridded(state, path, known_grid,
+                                                new_occ, cfg, model, table)
             return (st, new_occ), log
-        # per-lane grids: vmapped write-back + per-lane corridor extraction
-        new_occ = jax.vmap(
-            lambda o, x, y, p, s: update_grid_from_scan(
-                known_grid.replace(occ=o), x, y, p, s, lidar,
-                clear_free=clear_free).occ,
-            in_axes=(0, 0, 0, 0, 0))(occ, state.x, state.y, state.psi, scans)
+        # per-lane grids
+        if writeback_backend == "dense":
+            new_occ = fleet_writeback(known_grid, occ, state.x, state.y,
+                                      state.psi, scans, lidar,
+                                      clear_free=clear_free, shared=False)
+        else:
+            new_occ = jax.vmap(
+                lambda o, x, y, p, s: update_grid_from_scan(
+                    known_grid.replace(occ=o), x, y, p, s, lidar,
+                    clear_free=clear_free).occ,
+                in_axes=(0, 0, 0, 0, 0))(occ, state.x, state.y, state.psi,
+                                         scans)
         st, log = _sim_step_batched_gridded(state, path, known_grid, new_occ,
-                                            cfg, model)
+                                            cfg, model, table)
         return (st, new_occ), log
 
     (final, occ), log = jax.lax.scan(step_fn, (state0, occ0), None,
@@ -247,22 +329,57 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
     return SimResult(final_state=final, log=log), occ
 
 
-def _sim_step_batched_gridded(state: CarState, path: PathData,
-                              base_grid: GridMap, occ_b: jnp.ndarray,
-                              cfg: MPCConfig, model: ModelConfig):
-    """Fleet step where every lane carries its OWN occupancy grid ``occ_b``
-    (B, H, W) over shared ``base_grid`` metadata — the per-lane dynamic-map
-    variant of :func:`_sim_step_batched`.  Corridor extraction vmaps over
-    (lane, grid); the QP solve still runs the batched backend (Pallas kernel
-    on TPU)."""
-    from multi_purpose_mpc_tpu.mpc import (mpc_corridor, mpc_locate,
-                                           mpc_step_batched_with_corridor)
+def _dynamic_corridor_batched(state: CarState, path: PathData,
+                              occ: jnp.ndarray, table, cfg: MPCConfig,
+                              model: ModelConfig):
+    """Fleet localization + dynamic-grid corridor; ``occ`` is per-lane
+    (B, H, W) or shared (H, W).  Extraction runs the configured
+    :func:`~..ops.corridor_extract.extract_occ` backend over the static
+    scanline table; selection runs the fused Pallas kernel on TPU."""
+    from multi_purpose_mpc_tpu.mpc import mpc_locate
+    from multi_purpose_mpc_tpu.ops.corridor_extract import fleet_dynamic_segments
+    from multi_purpose_mpc_tpu.ops.path import gather_waypoint_index
 
     located = jax.vmap(lambda s: mpc_locate(s, path))(state)
-    corridor = jax.vmap(
-        lambda w, occ: mpc_corridor(w, path, base_grid.replace(occ=occ), cfg,
-                                    model, None),
-        in_axes=(0, 0))(located[0], occ_b)
+    sm = model.safety_margin
+    offs = jnp.arange(cfg.N)
+    # horizon starts at wp_id + 1, like the reference (MPC.py:116)
+    idx = jax.vmap(lambda w: gather_waypoint_index(path, w + 1, offs))(
+        located[0])
+    segs = fleet_dynamic_segments(occ, table, idx, 2.0 * sm,
+                                  cfg.max_segments,
+                                  backend=cfg.extract_backend)
+    backend = cfg.solver_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from multi_purpose_mpc_tpu.ops.corridor_pallas import (
+            corridor_select_pallas_segs)
+
+        corridor = corridor_select_pallas_segs(
+            path, segs, idx, cfg, sm, lanes=cfg.solver.kernel_lanes)
+    else:
+        from multi_purpose_mpc_tpu.ops.constraints import (SegmentCandidates,
+                                                           select_corridor)
+
+        corridor = jax.vmap(
+            lambda i, u, l, v: select_corridor(
+                path, i, SegmentCandidates(ub_xy=u, lb_xy=l, valid=v), sm)
+        )(idx, segs.ub_xy, segs.lb_xy, segs.valid)
+    return located, corridor
+
+
+def _sim_step_batched_gridded(state: CarState, path: PathData,
+                              base_grid: GridMap, occ_b: jnp.ndarray,
+                              cfg: MPCConfig, model: ModelConfig, table):
+    """Fleet step where lanes drive on a per-step-updated occupancy grid —
+    per-lane ``occ_b`` (B, H, W) or one shared (H, W) map — the dynamic-map
+    variant of :func:`_sim_step_batched`.  The QP solve still runs the
+    batched backend (Pallas kernel on TPU)."""
+    from multi_purpose_mpc_tpu.mpc import mpc_step_batched_with_corridor
+
+    located, corridor = _dynamic_corridor_batched(state, path, occ_b, table,
+                                                  cfg, model)
     out = mpc_step_batched_with_corridor(state, path, cfg, model, located,
                                          corridor)
     return jax.vmap(lambda o: _post_control(o, path, model))(out)
