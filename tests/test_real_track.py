@@ -73,3 +73,36 @@ def test_boundary_rasterization_world_coords(real_track):
     grid = real_track["grid"]
     g2 = add_boundary(grid, [(-0.02, -2.72)], [(1.5, 1.0)], n_samples=512)
     assert float(g2.occ.sum()) < float(grid.occ.sum())
+
+
+def test_real_track_lidar_fleet_smoke(real_track):
+    """The dynamic-corridor machinery (scanline tables, cells scan, dense
+    write-back) on the SECOND scenario: bigger 867x767 map, coarser 0.06
+    m/px resolution, non-circular path."""
+    from multi_purpose_mpc_tpu.config import LidarConfig
+    from multi_purpose_mpc_tpu.ops.grid import make_grid_map
+    from multi_purpose_mpc_tpu.ops.lidar import occupied_cell_table
+    from multi_purpose_mpc_tpu.simulation import init_fleet, simulate_lidar_fleet
+
+    grid = real_track["grid"]
+    path = real_track["path"]
+    known0 = make_grid_map(np.ones_like(np.asarray(grid.occ)),
+                           (float(grid.origin[0]), float(grid.origin[1])),
+                           float(grid.resolution))
+    # coarse map: validate_for_grid passes easily at these settings
+    lidar = LidarConfig(FoV=360, range=5.0, resolution=6, n_ray_samples=128)
+    lidar.validate_for_grid(float(grid.resolution))
+    fleet0 = init_fleet(path, real_track["mpc_cfg"].N, batch=2,
+                        wp_id0=jnp.asarray([0, 60], jnp.int32))
+    # exercise the TPU-default backends explicitly on CPU
+    res, occ = simulate_lidar_fleet(
+        grid, known0, path, real_track["mpc_cfg"], real_track["model_cfg"],
+        SimConfig(max_steps=10, static_grid=False), lidar, fleet0,
+        scan_backend="cells", writeback_backend="dense")
+    ds = np.asarray(res.final_state.s) - np.asarray(fleet0.s)
+    assert (ds > 0.3).all(), ds
+    assert not np.asarray(res.final_state.failed).any()
+    # scans populated both per-lane maps
+    n0 = float((np.asarray(known0.occ) - np.asarray(occ[0])).sum())
+    n1 = float((np.asarray(known0.occ) - np.asarray(occ[1])).sum())
+    assert n0 > 50 and n1 > 50, (n0, n1)
