@@ -1,0 +1,162 @@
+"""Fused per-lane map-update + scanline-extraction Pallas kernel.
+
+The LiDAR-in-the-loop fleet's per-step map work is two passes over every
+lane's occupancy grid: write the scan hits in (``ops.lidar.fleet_writeback``)
+and read the N horizon scanlines back out (``ops.corridor_extract``).  Run
+separately through XLA, each pass streams the full (B, H, W) grid stack
+through HBM and the write-back additionally materializes its one-hot
+operands and the (B, H, W) hit-count tensor in HBM — ~4x the occupancy
+bytes actually touched (measured 4.5 + 2.9 ms/step at B=256 on a v5e).
+
+This kernel fuses both passes: one program per lane holds the lane's grid
+VMEM-resident (500x500 f32 = 1 MB << 16 MB VMEM), applies the hit write-back
+as an in-VMEM one-hot matmul (MXU, exact: 0/1 operands, f32 accumulation),
+stores the updated grid once, and contracts the N scanline windows against
+the updated VMEM copy — HBM traffic collapses to the floor (one grid read +
+one grid write + the (N, K) values).  Outputs are bitwise-identical to
+``fleet_writeback(clear_free=False) -> extract_occ_pallas`` (same one-hot
+construction, same window contraction; tests + ``bench.py --check`` pin it).
+
+Reference behavior covered: the per-scan ``self.map.data[...] = 0`` hit
+write of the out-of-repo ROS loop (README.md:76) + the per-waypoint
+Bresenham occupancy reads of reference_path.py:466-520, batched per lane.
+
+``clear_free=True`` (observed-free clearing) and ``shared_grid=True``
+(cross-lane pooling) stay on the XLA paths — clearing needs nb x F sample
+one-hots that defeat the VMEM budget, pooling needs a cross-lane reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_fused_kernel(N: int, K: int, Hp: int, W: int, R: int, nbp: int):
+    """One program = one lane: hit write-back into the VMEM-resident grid,
+    then all N scanline-window contractions against the updated copy."""
+
+    def kernel(row0_ref, occ_ref, hpx_ref, hpy_ref, hit_ref, px_ref, py_ref,
+               occ_out_ref, vals_ref):
+        b = pl.program_id(0)
+
+        # --- write-back: occ := where(any beam hit the cell, 0, occ) ---
+        hpx = hpx_ref[0, 0]  # (nbp,) clipped int32
+        hpy = hpy_ref[0, 0]
+        hit = hit_ref[0, 0]  # (nbp,) int32 0/1 (padding lanes 0)
+        ih = jax.lax.broadcasted_iota(jnp.int32, (Hp, nbp), 0)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (nbp, W), 1)
+        rowOH = ((hpy[None, :] == ih) & (hit[None, :] > 0)
+                 ).astype(jnp.bfloat16)  # (Hp, nbp)
+        colOH = (hpx[:, None] == iw).astype(jnp.bfloat16)  # (nbp, W)
+        counts = jax.lax.dot_general(
+            rowOH, colOH, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (Hp, W)
+        new_occ = jnp.where(counts > 0.5, 0.0, occ_ref[0])
+        occ_out_ref[0] = new_occ
+
+        # --- extraction: N scanline windows against the updated grid ---
+        iwk = jax.lax.broadcasted_iota(jnp.int32, (K, W), 1)
+        ir = jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
+        rows = []
+        for n in range(N):
+            r0 = row0_ref[b, n]  # scalar-prefetch read (SMEM)
+            r0a = pl.multiple_of(r0, 8)  # 8-aligned by construction
+            win = occ_out_ref[0, pl.dslice(r0a, R), :]  # (R, W) updated grid
+            px = px_ref[0, n]  # (K,)
+            py = py_ref[0, n]
+            colOHn = (px[:, None] == iwk).astype(jnp.bfloat16)  # (K, W)
+            colsel = jax.lax.dot_general(
+                colOHn, win.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (K, R)
+            rowOHn = (py[:, None] - r0) == ir
+            rows.append(jnp.where(rowOHn, colsel, 0.0).sum(axis=1))
+        vals_ref[0] = jnp.stack(rows)  # (N, K)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("window_rows", "interpret"))
+def writeback_extract_pallas(occ: jnp.ndarray, hpx: jnp.ndarray,
+                             hpy: jnp.ndarray, hit: jnp.ndarray,
+                             px: jnp.ndarray, py: jnp.ndarray,
+                             row0: jnp.ndarray, window_rows: int,
+                             interpret: bool = False):
+    """Fused hit write-back + scanline extraction over per-lane grids.
+
+    occ (B, Hp, W) f32 per-lane grids, rows pre-padded 8-aligned with
+    ``Hp >= window_rows`` (keep the rollout carry padded: :func:`pad_rows`);
+    hpx/hpy (B, nb) int32 hit pixel coords clipped in-bounds; hit (B, nb)
+    bool; px/py (B, N, K) clipped scanline sample coords; row0 (B, N)
+    8-aligned window starts with ``row0 + window_rows <= Hp``.
+
+    Returns ``(new_occ (B, Hp, W), vals (B, N, K))`` — bitwise-equal to
+    ``fleet_writeback(..., clear_free=False, shared=False)`` followed by
+    ``extract_occ_pallas`` on the updated grids.
+    """
+    B, N, K = px.shape
+    Hp, W = occ.shape[-2:]
+    R = window_rows
+    if Hp % 8 or Hp < R:
+        raise ValueError(f"occ rows {Hp} must be 8-aligned and >= {R}")
+
+    nb = hpx.shape[1]
+    nbp = max(((nb + 127) // 128) * 128, 128)
+    if nbp != nb:
+        pad = [(0, 0), (0, nbp - nb)]
+        hpx = jnp.pad(hpx, pad)
+        hpy = jnp.pad(hpy, pad)
+        hit = jnp.pad(hit, pad)
+    # dummy middle axis: Mosaic needs the last two block dims to equal the
+    # array dims (or be (8, 128)-divisible); (1, nbp) of (B, nbp) is neither
+    hpx, hpy, hit = (a[:, None, :] for a in (hpx, hpy, hit))
+
+    kernel = _make_fused_kernel(N, K, Hp, W, R, nbp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hp, W), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nbp), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nbp), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nbp), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, K), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, K), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hp, W), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, K), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    new_occ, vals = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, Hp, W), occ.dtype),
+                   jax.ShapeDtypeStruct((B, N, K), jnp.float32)],
+        interpret=interpret,
+    )(row0, occ, hpx, hpy, hit.astype(jnp.int32), px, py)
+    return new_occ, vals
+
+
+def pad_rows(occ: jnp.ndarray, window_rows: int) -> jnp.ndarray:
+    """Pad the row axis 8-aligned and >= window_rows (pad cells read as
+    free=1.0, matching clipped-coordinate reads of in-bounds samples —
+    `inb` masking handles true out-of-bounds)."""
+    H = occ.shape[-2]
+    Hp = ((max(H, window_rows) + 7) // 8) * 8
+    if Hp == H:
+        return occ
+    pad = [(0, 0)] * (occ.ndim - 2) + [(0, Hp - H), (0, 0)]
+    return jnp.pad(occ, pad, constant_values=1.0)

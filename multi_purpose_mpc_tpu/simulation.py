@@ -202,7 +202,7 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
                          sim: SimConfig, lidar, state0: CarState,
                          clear_free: bool = False,
                          shared_grid: bool = False, table=None,
-                         scan_backend: str = "auto",
+                         cells=None, scan_backend: str = "auto",
                          writeback_backend: str = "auto"):
     """Fleet-scale LiDAR-in-the-loop rollout (BASELINE.json config 4 at
     batch scale): every lane scans the true world each step, writes hits
@@ -241,12 +241,19 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
     if scan_backend == "auto":
         scan_backend = "cells" if is_tpu else "march"
     if writeback_backend == "auto":
-        writeback_backend = "dense" if is_tpu else "scatter"
-    cells = None
-    if scan_backend == "cells":
+        if is_tpu and not shared_grid and not clear_free:
+            writeback_backend = "fused"  # one-kernel writeback + extraction
+        else:
+            writeback_backend = "dense" if is_tpu else "scatter"
+    if writeback_backend == "fused" and (shared_grid or clear_free):
+        raise ValueError("fused writeback supports per-lane grids with "
+                         "clear_free=False; use 'dense' or 'scatter'")
+    if scan_backend == "cells" and cells is None:
         from multi_purpose_mpc_tpu.ops.lidar import occupied_cell_table
 
         cells = occupied_cell_table(true_grid.occ)
+    if scan_backend != "cells":
+        cells = None
     return _simulate_lidar_fleet(true_grid, known_grid, path, cfg, model,
                                  sim, lidar, state0, table, cells,
                                  clear_free=clear_free,
@@ -272,6 +279,11 @@ def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
     occ0 = known_grid.occ
     if not shared_grid and occ0.ndim == 2:
         occ0 = jnp.broadcast_to(occ0, (B,) + occ0.shape)
+
+    if writeback_backend == "fused":
+        return _simulate_lidar_fleet_fused(true_grid, known_grid, path, cfg,
+                                           model, sim, lidar, state0, occ0,
+                                           table, cells, scan_backend)
 
     def step_fn(carry, _):
         state, occ = carry
@@ -329,6 +341,69 @@ def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
     return SimResult(final_state=final, log=log), occ
 
 
+def _simulate_lidar_fleet_fused(true_grid: GridMap, known_grid: GridMap,
+                                path: PathData, cfg: MPCConfig,
+                                model: ModelConfig, sim: SimConfig, lidar,
+                                state0: CarState, occ0: jnp.ndarray, table,
+                                cells, scan_backend: str):
+    """Per-lane LiDAR fleet with the one-kernel map path: scan-hit write-back
+    and scanline extraction run fused per lane with the grid VMEM-resident
+    (:func:`~..ops.mapping_pallas.writeback_extract_pallas`) — bitwise the
+    ``dense`` write-back + ``pallas`` extraction results at a fraction of the
+    HBM traffic.  The occupancy carry stays row-padded across the rollout."""
+    from multi_purpose_mpc_tpu.mpc import mpc_step_batched_with_corridor
+    from multi_purpose_mpc_tpu.ops.constraints import segments_from_samples
+    from multi_purpose_mpc_tpu.ops.corridor_extract import horizon_tables
+    from multi_purpose_mpc_tpu.ops.grid import w2m
+    from multi_purpose_mpc_tpu.ops.lidar import scan_fleet
+    from multi_purpose_mpc_tpu.ops.mapping_pallas import (pad_rows,
+                                                          writeback_extract_pallas)
+
+    H, W = known_grid.occ.shape[-2:]
+    occ0 = pad_rows(occ0, table.window_rows)
+    sm = model.safety_margin
+
+    def step_fn(carry, _):
+        state, occ = carry
+        located, idx = _locate_horizon(state, path, cfg)
+        pxh, pyh, inbh, cxh, cyh, row0h = horizon_tables(table, idx)
+        scans = scan_fleet(true_grid, state.x, state.y, state.psi, lidar,
+                           cells=cells, backend=scan_backend)
+        hpx, hpy = w2m(known_grid, scans.hit_xy[..., 0],
+                       scans.hit_xy[..., 1])
+        hpx = jnp.clip(hpx, 0, W - 1)
+        hpy = jnp.clip(hpy, 0, H - 1)
+        new_occ, vals = writeback_extract_pallas(occ, hpx, hpy, scans.hit,
+                                                 pxh, pyh, row0h,
+                                                 table.window_rows)
+        vals = jnp.where(inbh, vals, 0.0)  # OOB samples read as occupied
+        seg1 = lambda v, a, b: segments_from_samples(v, a, b, 2.0 * sm,
+                                                     cfg.max_segments)
+        segs = jax.vmap(jax.vmap(seg1))(vals, cxh, cyh)
+        corridor = _select_corridor_batched(path, segs, idx, cfg, sm)
+        out = mpc_step_batched_with_corridor(state, path, cfg, model,
+                                             located, corridor)
+        st, log = jax.vmap(lambda o: _post_control(o, path, model))(out)
+        return (st, new_occ), log
+
+    (final, occ), log = jax.lax.scan(step_fn, (state0, occ0), None,
+                                     length=sim.max_steps)
+    return SimResult(final_state=final, log=log), occ[:, :H]
+
+
+def _locate_horizon(state: CarState, path: PathData, cfg: MPCConfig):
+    """Fleet localization + horizon waypoint indices (starts at wp_id + 1,
+    like the reference, MPC.py:116)."""
+    from multi_purpose_mpc_tpu.mpc import mpc_locate
+    from multi_purpose_mpc_tpu.ops.path import gather_waypoint_index
+
+    located = jax.vmap(lambda s: mpc_locate(s, path))(state)
+    offs = jnp.arange(cfg.N)
+    idx = jax.vmap(lambda w: gather_waypoint_index(path, w + 1, offs))(
+        located[0])
+    return located, idx
+
+
 def _dynamic_corridor_batched(state: CarState, path: PathData,
                               occ: jnp.ndarray, table, cfg: MPCConfig,
                               model: ModelConfig):
@@ -336,19 +411,20 @@ def _dynamic_corridor_batched(state: CarState, path: PathData,
     (B, H, W) or shared (H, W).  Extraction runs the configured
     :func:`~..ops.corridor_extract.extract_occ` backend over the static
     scanline table; selection runs the fused Pallas kernel on TPU."""
-    from multi_purpose_mpc_tpu.mpc import mpc_locate
     from multi_purpose_mpc_tpu.ops.corridor_extract import fleet_dynamic_segments
-    from multi_purpose_mpc_tpu.ops.path import gather_waypoint_index
 
-    located = jax.vmap(lambda s: mpc_locate(s, path))(state)
+    located, idx = _locate_horizon(state, path, cfg)
     sm = model.safety_margin
-    offs = jnp.arange(cfg.N)
-    # horizon starts at wp_id + 1, like the reference (MPC.py:116)
-    idx = jax.vmap(lambda w: gather_waypoint_index(path, w + 1, offs))(
-        located[0])
     segs = fleet_dynamic_segments(occ, table, idx, 2.0 * sm,
                                   cfg.max_segments,
                                   backend=cfg.extract_backend)
+    corridor = _select_corridor_batched(path, segs, idx, cfg, sm)
+    return located, corridor
+
+
+def _select_corridor_batched(path: PathData, segs, idx, cfg: MPCConfig, sm):
+    """Corridor selection from per-lane segment candidates (fused Pallas
+    kernel on TPU, XLA scan elsewhere)."""
     backend = cfg.solver_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -366,7 +442,7 @@ def _dynamic_corridor_batched(state: CarState, path: PathData,
             lambda i, u, l, v: select_corridor(
                 path, i, SegmentCandidates(ub_xy=u, lb_xy=l, valid=v), sm)
         )(idx, segs.ub_xy, segs.lb_xy, segs.valid)
-    return located, corridor
+    return corridor
 
 
 def _sim_step_batched_gridded(state: CarState, path: PathData,
