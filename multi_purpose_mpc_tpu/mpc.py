@@ -214,14 +214,18 @@ def mpc_step(state: CarState, path: PathData, grid: GridMap,
 
 def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
                      cfg: MPCConfig, model: ModelConfig,
-                     segments: SegmentCandidates | None = None) -> ControlOutput:
+                     segments: SegmentCandidates | None = None,
+                     table: jnp.ndarray | None = None) -> ControlOutput:
     """Fleet control step with the solver running over the whole batch at
     once — required for the fused Pallas ADMM kernel
     (:mod:`~multi_purpose_mpc_tpu.ops.admm_pallas`), which keeps a tile of
     lanes VMEM-resident for the entire iteration loop.
 
     ``cfg.solver_backend`` picks "pallas" (TPU kernel) or "xla"
-    (vmapped stage-scan solver).
+    (vmapped stage-scan solver).  ``table`` is the optional windowed
+    horizon table (:mod:`~multi_purpose_mpc_tpu.ops.horizon_table`): one
+    contiguous take replaces the per-step (B, N) row gathers that profiling
+    showed dominating the step at batch 4096.
     """
     backend = cfg.solver_backend
     if backend == "auto":
@@ -229,7 +233,19 @@ def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
 
     located = jax.vmap(lambda s: mpc_locate(s, path))(state)
     corridor = None
-    if backend == "pallas" and segments is not None:
+    horizon = None
+    if backend == "pallas" and table is not None:
+        from multi_purpose_mpc_tpu.ops.horizon_table import (
+            corridor_select_from_block,
+            gather_horizon_block,
+            solver_inputs_from_block,
+        )
+
+        blk = gather_horizon_block(table, located[0])
+        corridor = corridor_select_from_block(blk, cfg, model.safety_margin,
+                                              lanes=cfg.solver.kernel_lanes)
+        horizon = solver_inputs_from_block(blk, cfg.max_segments)
+    elif backend == "pallas" and segments is not None:
         # fused selection kernel (static-grid fast path); dynamic grids keep
         # the in-loop vmapped extraction below
         from multi_purpose_mpc_tpu.ops.corridor_pallas import corridor_select_pallas
@@ -245,7 +261,8 @@ def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
 
     return mpc_step_batched_with_corridor(state, path, cfg, model, located,
                                           corridor, backend=backend,
-                                          grid=grid, segments=segments)
+                                          grid=grid, segments=segments,
+                                          horizon=horizon)
 
 
 def mpc_step_batched_with_corridor(state: CarState, path: PathData,
@@ -253,11 +270,16 @@ def mpc_step_batched_with_corridor(state: CarState, path: PathData,
                                    located, corridor: Corridor,
                                    backend: str | None = None,
                                    grid: GridMap = None,
-                                   segments: SegmentCandidates | None = None
+                                   segments: SegmentCandidates | None = None,
+                                   horizon=None,
                                    ) -> ControlOutput:
     """Fleet control step given an already-computed corridor — the entry
     point for callers that extract corridors themselves (e.g. per-lane
-    dynamic grids in the LiDAR-in-the-loop fleet, simulation.py)."""
+    dynamic grids in the LiDAR-in-the-loop fleet, simulation.py).
+
+    ``horizon``: optional pre-gathered ``(v_ref, kappa_ref, delta_s)``
+    (each (B, N)) from the windowed horizon table, skipping the three
+    (B, N) row gathers here."""
     if backend is None:
         backend = cfg.solver_backend
         if backend == "auto":
@@ -269,11 +291,15 @@ def mpc_step_batched_with_corridor(state: CarState, path: PathData,
         from multi_purpose_mpc_tpu.ops.admm_pallas import solve_mpc_qp_fused
 
         wp_id, e_y, e_psi = located
-        offs = jnp.arange(cfg.N)
-        idxs = jax.vmap(lambda w: gather_waypoint_index(path, w, offs))(wp_id)
-        v_ref = path.v_ref[idxs]
-        kappa_ref = path.kappa[idxs]
-        delta_s = path.seg_dist[idxs]
+        if horizon is not None:
+            v_ref, kappa_ref, delta_s = horizon
+        else:
+            offs = jnp.arange(cfg.N)
+            idxs = jax.vmap(
+                lambda w: gather_waypoint_index(path, w, offs))(wp_id)
+            v_ref = path.v_ref[idxs]
+            kappa_ref = path.kappa[idxs]
+            delta_s = path.seg_dist[idxs]
         x0 = jnp.stack([e_y, e_psi, jnp.zeros_like(e_y)], axis=-1)
         kp = jax.vmap(lambda u: kappa_predictions(u, cfg.N))(state.u_seq)
         sol = solve_mpc_qp_fused(v_ref, kappa_ref, delta_s,
