@@ -95,6 +95,17 @@ class SolverConfig:
     # that reuses the same factorization machinery.
     polish_iters: int = 10
     polish_boost: float = 100.0
+    # Stage-system solver inside the Pallas kernels.  "schur" (what "auto"
+    # resolves to) = the block-tridiagonal Schur recursion (unrolled SSA
+    # values at N <= 32, rolled VMEM-scratch loops above).  "cr" = block
+    # cyclic reduction: stage-batched (stages, lanes) planes, O(log N)
+    # sequential depth per ADMM iteration.  Both solve the same SPD system
+    # and agree to solver tolerance (tests/test_admm_pallas.py).  Measured
+    # on the v5e at N=30, B=4096: CR is SLOWER (112 vs 78 us/iteration,
+    # 0.32 vs 0.16 ms factor overhead) — the stage-batched planes pack the
+    # VPU better per op, but CR does ~2x the block-matrix work per level
+    # and its log-depth win can't pay off at 31 stages; hence auto=schur.
+    stage_solver: str = "auto"
     # OSQP's published defaults — also what the reference's solver ran with.
     # NOTE: the reference MPC cost (R = diag(0.5, 0)) leaves the curvature
     # input nearly cost-flat, so at eps ~1e-3 ANY solver returns one of a

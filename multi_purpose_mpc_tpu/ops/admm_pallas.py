@@ -9,11 +9,14 @@ ADMM loop (including rho-adaptation refactorizations) in one ``pallas_call``:
 HBM traffic drops to one read of the inputs + one write of the outputs per
 MPC step.
 
-Layout: the lane axis is LAST and equals the tile width ``LANES`` (a multiple
-of 128), so every scalar-per-lane quantity is one vreg row and every 5x5
-stage operation is 25 vector ops on ``(LANES,)`` vectors — pure VPU work with
-zero transposes.  Host-side wrappers move arrays between the solver's
-``(B, stages, ...)`` convention and the kernel's ``(stages, ..., B)``.
+Layout: the lane axes are LAST — a tile of ``LANES = S * 128`` lanes laid
+out as an ``(S, 128)`` trailing block (sublanes x lanes; see
+:func:`_lane_shape`), so every scalar-per-lane quantity is one FULL vreg at
+S = 8 and every 5x5 stage operation is 25 full-vreg multiply-adds — pure
+VPU work with zero transposes and no wasted sublanes.  Host-side wrappers
+move arrays between the solver's ``(B, stages, ...)`` convention and the
+kernel's ``(stages, ..., B/128, 128)`` (a free reshape: the batch axis is
+contiguous).
 
 Math is identical to :func:`multi_purpose_mpc_tpu.ops.ltv_qp.solve_ltv_qp`
 (same OSQP-style iteration, same stage-space block-tridiagonal Schur
@@ -45,15 +48,40 @@ from multi_purpose_mpc_tpu.ops.ltv_qp import (
 DEFAULT_LANES = 128
 
 
+def _lane_shape(lanes: int) -> Tuple[int, ...]:
+    """Kernel-side layout of a lane tile.
+
+    ``lanes % 1024 == 0`` tiles lay out 2-D as ``(S, 128)`` (S = lanes/128
+    sublanes x 128 lanes) so every per-lane quantity is S/8 FULL vregs.  In
+    the 1-D ``(lanes,)`` layout every per-stage slice occupies lanes/128
+    vregs at ONE sublane each, wasting 7/8 of every vector issue slot;
+    measured on the v5e, a ``(128,)`` elementwise op costs exactly the same
+    as an ``(8, 128)`` one, so sublane packing is an up-to-8x on the
+    solver's issue-bound stage math.  Mosaic requires the block's
+    second-to-last dim to be a multiple of 8, hence the 1024 granularity;
+    smaller tiles keep the classic 1-D layout (identical math — the kernel
+    body is lane-shape-generic).
+
+    Toolchain status (v5e, 2026-08): lanes >= 512 tiles fail to COMPILE
+    (remote tpu_compile_helper exit 1) on the unrolled N <= 32 SSA path, so
+    the 2-D layout is unreachable on current Mosaic except via explicit
+    ``kernel_lanes=1024``; its math is pinned by an interpret-mode test
+    (tests/test_admm_pallas.py::test_packed_lane_layout).  The measured
+    lane sweep (N=30, B=4096): 128 lanes 14.1 ms/step < 256 lanes 15.3 —
+    the default stays 128."""
+    if lanes >= 1024 and lanes % 1024 == 0:
+        return (lanes // 128, 128)
+    return (lanes,)
+
+
 def _gj_inverse_5x5(S):
     """Gauss-Jordan inverse of (5, 5, L) SPD stage blocks, vectorized over
     lanes.  No pivoting — the Schur complements are positive definite by
     construction (P + sigma I + rho A'A).  Written as explicit row lists:
     Mosaic has no scatter lowering, so no ``.at[]`` updates."""
-    L = S.shape[-1]
     # identity rows built in-kernel via iota — Pallas kernels cannot close
     # over non-scalar constants
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (NW, L), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (NW,) + S.shape[2:], 0)
     a = [S[i] for i in range(NW)]  # rows, each (5, L)
     inv = [jnp.where(row_ids == i, 1.0, 0.0).astype(S.dtype)
            for i in range(NW)]
@@ -96,6 +124,148 @@ def _mm_ll(A_, B_):
         for i in range(a)])
 
 
+# ---------------------------------------------------------------------------
+# Plane-matrix helpers for the cyclic-reduction stage solver.
+#
+# A "pmat" is a list-of-lists of (stages, L) planes (or None for a
+# structural zero): block matrices batched over the *stage* axis, so every
+# op is a full-width vector op over (stages, L) — the Schur recursion's
+# (L,)-wide per-stage ops use 1/8 of the VPU's sublanes and serialize over
+# stages; CR's stage-batched planes pack them densely AND cut the
+# sequential depth from O(N) to O(log N) levels.
+# ---------------------------------------------------------------------------
+
+
+def _pm_zeros_like(p):
+    return jnp.zeros_like(p)
+
+
+def _pm_mul(A, B):
+    """pmat product C[i][j] = sum_k A[i][k] B[k][j]; None-aware."""
+    ra, rk = len(A), len(B)
+    rb = len(B[0])
+    out = []
+    for i in range(ra):
+        row = []
+        for j in range(rb):
+            acc = None
+            for k in range(rk):
+                a = A[i][k]
+                b = B[k][j]
+                if a is None or b is None:
+                    continue
+                acc = a * b if acc is None else acc + a * b
+            row.append(acc)
+        out.append(row)
+    return out
+
+
+def _pm_mulT(A, B):
+    """C = A @ B^T: C[i][j] = sum_k A[i][k] B[j][k]."""
+    return _pm_mul(A, [[B[j][k] for j in range(len(B))]
+                       for k in range(len(B[0]))])
+
+
+def _pm_Tmul(A, B):
+    """C = A^T @ B: C[i][j] = sum_k A[k][i] B[k][j]."""
+    return _pm_mul([[A[k][i] for k in range(len(A))]
+                    for i in range(len(A[0]))], B)
+
+
+def _pm_sub(A, B):
+    """A - B with None as zero."""
+    out = []
+    for i in range(len(A)):
+        row = []
+        for j in range(len(A[0])):
+            a, b = A[i][j], B[i][j]
+            if b is None:
+                row.append(a)
+            elif a is None:
+                row.append(-b)
+            else:
+                row.append(a - b)
+        out.append(row)
+    return out
+
+
+def _pm_neg(A):
+    return [[None if x is None else -x for x in row] for row in A]
+
+
+def _pm_mv(A, v):
+    """pmat @ plane-vector: w[i] = sum_j A[i][j] v[j]."""
+    out = []
+    for i in range(len(A)):
+        acc = None
+        for j in range(len(v)):
+            a = A[i][j]
+            if a is None or v[j] is None:
+                continue
+            acc = a * v[j] if acc is None else acc + a * v[j]
+        out.append(acc)
+    return out
+
+
+def _pm_Tv(A, v):
+    """pmat^T @ plane-vector: w[j] = sum_i A[i][j] v[i]."""
+    out = []
+    for j in range(len(A[0])):
+        acc = None
+        for i in range(len(A)):
+            a = A[i][j]
+            if a is None or v[i] is None:
+                continue
+            acc = a * v[i] if acc is None else acc + a * v[i]
+        out.append(acc)
+    return out
+
+
+def _pm_inv(D):
+    """Gauss-Jordan inverse of a dense n x n pmat of (s, L) planes.  No
+    pivoting — the CR reduced diagonals stay SPD (Schur complements of SPD
+    blocks)."""
+    n = len(D)
+    one = jnp.ones_like(D[0][0])
+    zero = jnp.zeros_like(D[0][0])
+    a = [[D[i][j] if D[i][j] is not None else zero for j in range(n)]
+         for i in range(n)]
+    inv = [[one if i == j else zero for j in range(n)] for i in range(n)]
+    for k in range(n):
+        piv = 1.0 / a[k][k]
+        a[k] = [x * piv for x in a[k]]
+        inv[k] = [x * piv for x in inv[k]]
+        for i in range(n):
+            if i == k:
+                continue
+            f = a[i][k]
+            a[i] = [a[i][j] - f * a[k][j] for j in range(n)]
+            inv[i] = [inv[i][j] - f * inv[k][j] for j in range(n)]
+    return inv
+
+
+def _pm_rows(A, sl):
+    """Slice every plane's stage axis."""
+    return [[None if x is None else x[sl] for x in row] for row in A]
+
+
+def _pv_rows(v, sl):
+    return [None if x is None else x[sl] for x in v]
+
+
+def _plane_split_even_odd(p):
+    """(m_pad, *L) plane with even m_pad -> (even rows, odd rows)."""
+    m2 = p.shape[0] // 2
+    r = p.reshape((m2, 2) + p.shape[1:])
+    return r[:, 0], r[:, 1]
+
+
+def _plane_interleave(a, b):
+    """Even rows a (e, *L) + odd rows b (e, *L) -> (2e, *L)."""
+    e = a.shape[0]
+    return jnp.stack([a, b], axis=1).reshape((2 * e,) + a.shape[1:])
+
+
 def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
     """Builds the kernel body for a fixed horizon + solver config.
 
@@ -116,7 +286,16 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
     #     live-set in N, which is what makes N = 60-100+ compile and fit
     #     the 16 MB budget (costs ~18% at N=30 from scratch round-trips —
     #     measured, hence the hybrid).
-    ROLLED = N > 32
+    # cfg.stage_solver == "cr" replaces both with block cyclic reduction:
+    # stage-batched (stages, L) planes instead of per-stage (L,) vectors —
+    # full sublane packing and O(log N) sequential depth per solve.
+    # Measured on the v5e (N=30, B=4096, /tmp/prof_cr_split.py pattern):
+    # CR per-iteration 112 us vs Schur 78 us, factor 0.32 vs 0.16 ms — the
+    # denser packing loses to CR's ~2x block-matrix work per level at 31
+    # stages, so "auto" stays schur; CR remains the opt-in for very long
+    # horizons where O(log N) depth can win.
+    CR = cfg.stage_solver == "cr"
+    ROLLED = N > 32 and not CR
 
     def kernel(*refs):
         if build is None:
@@ -149,25 +328,29 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
         rho = rho0_ref[:]  # (1, L)
 
         dtype = W.dtype
-        L = W.shape[-1]
+        # trailing lane dims: (L,) in the classic layout, (S, 128) in the
+        # sublane-packed layout (lanes > 128) — all math below is written
+        # lane-shape-generic (broadcast over LS)
+        LS = W.shape[2:]
+        ones_ls = (1,) * len(LS)
 
         # equality-like box rows (l == u) carry rho * eq_scale, like OSQP's
         # rho vector and the XLA solver's rho_rows
-        is_eq = (uw - lw) < 1e-9  # (N+1, 5, L)
+        is_eq = (uw - lw) < 1e-9  # (N+1, 5, *LS)
 
         def rho_rows(rho_v, boost=None):
             rw = jnp.where(is_eq, rho_v[0] * eq_scale, rho_v[0])
             if boost is not None:
                 rw = rw * boost
-            return rw  # (N+1, 5, L)
+            return rw  # (N+1, 5, *LS)
 
         # identity / x-row-mask tensors built in-kernel via iota (no
         # non-scalar captured constants allowed in Pallas kernels)
-        _r = jax.lax.broadcasted_iota(jnp.int32, (NW, NW, 1), 0)
-        _c = jax.lax.broadcasted_iota(jnp.int32, (NW, NW, 1), 1)
-        eye5 = (_r == _c).astype(dtype)  # (5, 5, 1)
-        mask_x = (jax.lax.broadcasted_iota(jnp.int32, (NW, 1), 0) < NX
-                  ).astype(dtype)  # (5, 1)
+        _r = jax.lax.broadcasted_iota(jnp.int32, (NW, NW) + ones_ls, 0)
+        _c = jax.lax.broadcasted_iota(jnp.int32, (NW, NW) + ones_ls, 1)
+        eye5 = (_r == _c).astype(dtype)  # (5, 5, *1s)
+        mask_x = (jax.lax.broadcasted_iota(jnp.int32, (NW,) + ones_ls, 0) < NX
+                  ).astype(dtype)  # (5, *1s)
 
         def factor_rolled(rho_v, rho_w):
             """Writes stage factors Sinv into the (N+1,5,5,L) VMEM scratch
@@ -175,18 +358,18 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
             + scratch (instead of an unrolled Python list) keeps code size
             and peak VMEM O(1) in N — what lifts the N~30 horizon cap.  All
             diagonal embeddings are one-hot products — no scatter."""
-            rho_eq = rho_v[0] * eq_scale  # (L,)
-            diag_s[:] = Pd + sigma + rho_w  # (N+1, 5, L)
+            rho_eq = rho_v[0] * eq_scale  # (*LS,)
+            diag_s[:] = Pd + sigma + rho_w  # (N+1, 5, *LS)
             # coupling C_n = -rho_eq * AB_n, staged once per factorization
             # so the per-iteration substitutions don't recompute it
-            C_s[:] = -(rho_eq[None, None, None, :] * AB)
+            C_s[:] = -(rho_eq[None, None, None] * AB)
 
             def GCt5_embed(G, Cn):
-                """pad(G C') on the x-x block -> (5, 5, L); the u rows/cols
+                """pad(G C') on the x-x block -> (5, 5, *LS); the u rows/cols
                 are zero (no jnp.pad in Mosaic — explicit row build)."""
                 GCt = [[sum(G[i][k] * Cn[j][k] for k in range(NW))
                         for j in range(NX)] for i in range(NX)]
-                z = jnp.zeros((L,), dtype)
+                z = jnp.zeros(LS, dtype)
                 return jnp.stack([
                     jnp.stack([(GCt[i][j] if (i < NX and j < NX) else z)
                                for j in range(NW)])
@@ -198,9 +381,9 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
                 AtA = jnp.stack([
                     jnp.stack([sum(ABn[k, i] * ABn[k, j] for k in range(NX))
                                for j in range(NW)])
-                    for i in range(NW)])  # (5, 5, L)
-                diag = diag_s[n_idx] + rho_eq[None, :] * mask_x
-                return AtA * rho_eq + diag[:, None, :] * eye5
+                    for i in range(NW)])  # (5, 5, *LS)
+                diag = diag_s[n_idx] + rho_eq[None] * mask_x
+                return AtA * rho_eq + diag[:, None] * eye5
 
             Sinv_s[0] = _gj_inverse_5x5(D_of(0, AB_s[0]))
 
@@ -214,8 +397,8 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
             jax.lax.fori_loop(1, N, fstep, 0, unroll=1)
 
             # terminal stage: x rows diag_base + rho_eq; pad u rows identity
-            diag_N = (mask_x * (diag_s[N] + rho_eq[None, :]) + (1.0 - mask_x))
-            DN = diag_N[:, None, :] * eye5
+            diag_N = (mask_x * (diag_s[N] + rho_eq[None]) + (1.0 - mask_x))
+            DN = diag_N[:, None] * eye5
             CN = C_s[N - 1]
             G = _mm_ll(CN, Sinv_s[N - 1])
             Sinv_s[N] = _gj_inverse_5x5(DN - GCt5_embed(G, CN))
@@ -233,7 +416,8 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
                 Gv = jnp.stack([sum(Cn[i, j] * Sv[j] for j in range(NW))
                                 for i in range(NX)])
                 # subtract on x rows only (u rows of the pad are zero)
-                Gv5 = jnp.concatenate([Gv, jnp.zeros((NU, L), dtype)], axis=0)
+                Gv5 = jnp.concatenate([Gv, jnp.zeros((NU,) + LS, dtype)],
+                                      axis=0)
                 v_s[n] = v_s[n] - Gv5
                 return 0
 
@@ -257,22 +441,22 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
             """Unrolled factorization as SSA values (N <= 32 fast path):
             returns (Sinv, C); Mosaic register-allocates across the
             iteration loop with no scratch round-trips."""
-            rho_eq = rho_v[0] * eq_scale  # (L,)
-            diag_base = Pd + sigma + rho_w  # (N+1, 5, L)
+            rho_eq = rho_v[0] * eq_scale  # (*LS,)
+            diag_base = Pd + sigma + rho_w  # (N+1, 5, *LS)
             AtA = jnp.stack([
                 jnp.stack([sum(AB[:, k, i] * AB[:, k, j] for k in range(NX))
                            for j in range(NW)], axis=1)
-                for i in range(NW)], axis=1)  # (N, 5, 5, L)
+                for i in range(NW)], axis=1)  # (N, 5, 5, *LS)
             diag_body = (diag_base[:-1]
-                         + rho_eq[None, None, :] * mask_x[None, :, :])
-            D = AtA * rho_eq + diag_body[:, :, None, :] * eye5[None, :, :, :]
-            diag_N = (mask_x * (diag_base[N] + rho_eq[None, :])
+                         + rho_eq[None, None] * mask_x[None])
+            D = AtA * rho_eq + diag_body[:, :, None] * eye5[None]
+            diag_N = (mask_x * (diag_base[N] + rho_eq[None])
                       + (1.0 - mask_x))
-            DN = diag_N[:, None, :] * eye5
-            C = -(rho_eq[None, None, None, :] * AB)  # (N, 3, 5, L)
+            DN = diag_N[:, None] * eye5
+            C = -(rho_eq[None, None, None] * AB)  # (N, 3, 5, *LS)
 
-            pad_uu = jnp.zeros((NU, NU, L), dtype)
-            pad_xu = jnp.zeros((NX, NU, L), dtype)
+            pad_uu = jnp.zeros((NU, NU) + LS, dtype)
+            pad_xu = jnp.zeros((NX, NU) + LS, dtype)
             Sinvs = []
             Sinv = _gj_inverse_5x5(D[0])
             Sinvs.append(Sinv)
@@ -295,7 +479,7 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
 
         def solve_values(Sinv, C, b):
             """Unrolled substitutions on SSA values (N <= 32 fast path)."""
-            pad2 = jnp.zeros((NU, b.shape[-1]), b.dtype)
+            pad2 = jnp.zeros((NU,) + LS, b.dtype)
             v = [None] * (N + 1)
             v[0] = b[0]
             for n in range(1, N + 1):
@@ -312,8 +496,163 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
                 w[n] = _mv5(Sinv[n], v[n] - Ctw)
             return jnp.stack(w)
 
+        # -- block cyclic reduction (cfg.stage_solver == "cr") -------------
+        # Same SPD stage system; stage-batched (stages, L) planes and
+        # O(log N) levels instead of the serial Schur recursion.  Stage
+        # count pads to the next 2^k - 1 with decoupled identity stages.
+        m_cr = N + 1
+        mfull_cr = 1
+        while mfull_cr < m_cr + 1:
+            mfull_cr *= 2
+        mfull_cr -= 1
+
+        def factor_cr(rho_v, rho_w):
+            rho_eq = rho_v[0] * eq_scale  # (*LS,)
+            diag_base = Pd + sigma + rho_w  # (N+1, 5, *LS)
+            z1 = jnp.zeros((1,) + LS, dtype)
+            o1 = jnp.ones((1,) + LS, dtype)
+            re = rho_eq[None]
+
+            # stage-batched diagonal / coupling blocks as plane matrices
+            D = []
+            for i in range(NW):
+                row = []
+                for j in range(NW):
+                    AtA = sum(AB[:, k, i] * AB[:, k, j] for k in range(NX))
+                    body = re * AtA  # (N, L)
+                    if i == j:
+                        body = body + diag_base[:N, i]
+                        if i < NX:
+                            body = body + re
+                        dN = (diag_base[N:, i] + re) if i < NX else o1
+                    else:
+                        dN = z1
+                    p = jnp.concatenate([body, dN], axis=0)  # (m_cr, L)
+                    if mfull_cr > m_cr:
+                        padp = o1 if i == j else z1
+                        p = jnp.concatenate(
+                            [p] + [padp] * (mfull_cr - m_cr), axis=0)
+                    row.append(p)
+                D.append(row)
+            O = []
+            for i in range(NW):
+                if i >= NX:
+                    O.append([None] * NW)
+                    continue
+                row = []
+                for j in range(NW):
+                    p = jnp.concatenate([z1, -(re * AB[:, i, j])], axis=0)
+                    if mfull_cr > m_cr:
+                        p = jnp.concatenate(
+                            [p] + [z1] * (mfull_cr - m_cr), axis=0)
+                    row.append(p)
+                O.append(row)
+
+            levels = []
+            mc = mfull_cr
+            while mc > 1:
+                e = (mc + 1) // 2
+                mp = (mc - 1) // 2
+
+                def pad_split(p, diag):
+                    if p is None:
+                        return None, None
+                    tail = o1 if diag else z1
+                    return _plane_split_even_odd(
+                        jnp.concatenate([p, tail], axis=0))
+
+                De, Do, Oe, Ol = [], [], [], []
+                for i in range(NW):
+                    de_r, do_r, oe_r, ol_r = [], [], [], []
+                    for j in range(NW):
+                        pe, po = pad_split(D[i][j], i == j)
+                        de_r.append(pe)
+                        do_r.append(po)
+                        pe, po = pad_split(O[i][j], False)
+                        oe_r.append(pe)
+                        ol_r.append(po)
+                    De.append(de_r)
+                    Do.append(do_r)
+                    Oe.append(oe_r)
+                    Ol.append(ol_r)
+
+                Dinv_e = _pm_inv(De)  # (e, L) planes
+                OL = Ol  # O_{2t+1}, t = 0..e-1 (last is the zero pad)
+                OR = _pm_rows(Oe, slice(1, None))  # O_{2t+2}, t = 0..mp-1
+                levels.append((Dinv_e, OL, OR, mc, e, mp))
+
+                OLm = _pm_rows(OL, slice(0, mp))
+                Dim = _pm_rows(Dinv_e, slice(0, mp))
+                t1 = _pm_mul(OLm, _pm_mulT(Dim, OLm))
+                Di1 = _pm_rows(Dinv_e, slice(1, mp + 1))
+                t2 = _pm_Tmul(OR, _pm_mul(Di1, OR))
+                D = _pm_sub(_pm_sub(_pm_rows(Do, slice(0, mp)), t1), t2)
+                if mp > 1:
+                    OL1 = _pm_rows(OL, slice(1, mp))
+                    Di2 = _pm_rows(Dinv_e, slice(1, mp))
+                    OR0 = _pm_rows(OR, slice(0, mp - 1))
+                    Ob = _pm_neg(_pm_mul(OL1, _pm_mul(Di2, OR0)))
+                    O = [[None if x is None
+                          else jnp.concatenate([z1, x], axis=0)
+                          for x in row] for row in Ob]
+                else:
+                    O = [[None] * NW for _ in range(NW)]
+                mc = mp
+            Dinv_f = _pm_inv(D)  # single-stage inverse
+            return levels, Dinv_f, z1
+
+        def solve_cr(levels, Dinv_f, z1, b):
+            """b: (N+1, 5, *LS) -> w: (N+1, 5, *LS) via the stored CR
+            levels."""
+            bp = [b[:, j] for j in range(NW)]
+            if mfull_cr > m_cr:
+                padz = jnp.broadcast_to(z1, (mfull_cr - m_cr,) + LS)
+                bp = [jnp.concatenate([x, padz], axis=0) for x in bp]
+            stack = []
+            for (Dinv_e, OL, OR, mc, e, mp) in levels:
+                bpad = [jnp.concatenate([x, z1], axis=0) for x in bp]
+                be, bo = [], []
+                for x in bpad:
+                    pe, po = _plane_split_even_odd(x)
+                    be.append(pe)
+                    bo.append(po)
+                u = _pm_mv(Dinv_e, be)  # (e, L) planes
+                t1 = _pm_mv(_pm_rows(OL, slice(0, mp)),
+                            _pv_rows(u, slice(0, mp)))
+                t2 = _pm_Tv(OR, _pv_rows(u, slice(1, mp + 1)))
+                bn = []
+                for j in range(NW):
+                    x = bo[j][:mp]
+                    if t1[j] is not None:
+                        x = x - t1[j]
+                    if t2[j] is not None:
+                        x = x - t2[j]
+                    bn.append(x)
+                stack.append((Dinv_e, OL, OR, be, mc))
+                bp = bn
+            w = _pm_mv(Dinv_f, bp)  # (1, L) planes
+            for (Dinv_e, OL, OR, be, mc) in reversed(stack):
+                prod = _pm_mv(OR, w)  # x-rows over (mp, L)
+                w_pad = [jnp.concatenate([x, z1], axis=0) for x in w]  # (e, L)
+                right = _pm_Tv(OL, w_pad)
+                rhs = []
+                for j in range(NW):
+                    x = be[j]
+                    if prod[j] is not None:
+                        x = x - jnp.concatenate([z1, prod[j]], axis=0)
+                    if right[j] is not None:
+                        x = x - right[j]
+                    rhs.append(x)
+                we = _pm_mv(Dinv_e, rhs)  # (e, L)
+                w = [_plane_interleave(we[j], w_pad[j])[:mc]
+                     for j in range(NW)]
+            return jnp.stack([x[:m_cr] for x in w], axis=1)
+
         def make_stage_solver(rho_v, rho_w):
             """Factorize for this rho; return the b -> w solve closure."""
+            if CR:
+                levels, Dinv_f, z1 = factor_cr(rho_v, rho_w)
+                return lambda b: solve_cr(levels, Dinv_f, z1, b)
             if not ROLLED:
                 Sinv, C = factor_values(rho_v, rho_w)
                 return lambda b: solve_values(Sinv, C, b)
@@ -334,9 +673,9 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
             Wt = Wq[1:]
             g = jnp.stack([sum(AB[:, i, j] * Wt[:, i] for i in range(NX))
                            for j in range(NW)], axis=1)  # (N, 5, L)
-            gN = jnp.zeros((1, NW, L), dtype)
+            gN = jnp.zeros((1, NW) + LS, dtype)
             g = jnp.concatenate([g, gN], axis=0)
-            pad_u = jnp.zeros((N + 1, NU, L), dtype)
+            pad_u = jnp.zeros((N + 1, NU) + LS, dtype)
             Wq_pad = jnp.concatenate([Wq, pad_u], axis=1)  # (N+1, 5, L)
             return g - Wq_pad
 
@@ -348,13 +687,13 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
 
             def body(_, st):
                 W, Zw, Yeq, Yw = st
-                weq = rho_eq[None, None, :] * beq - Yeq
+                weq = rho_eq[None, None] * beq - Yeq
                 rhs = sigma * W - qv + eq_applyT(weq) + rho_w * Zw - Yw
                 Wt = slv(rhs)
                 Req = eq_apply(Wt)
                 Wn = alpha * Wt + (1.0 - alpha) * W
                 Zeq_pre = alpha * Req + (1.0 - alpha) * beq
-                Yeq_n = Yeq + rho_eq[None, None, :] * (Zeq_pre - beq)
+                Yeq_n = Yeq + rho_eq[None, None] * (Zeq_pre - beq)
                 Zw_pre = alpha * Wt + (1.0 - alpha) * Zw
                 Zw_n = jnp.clip(Zw_pre + Yw / rho_w, lw, uw)
                 Yw_n = Yw + rho_w * (Zw_pre - Zw_n)
@@ -391,7 +730,7 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
                              jnp.maximum(rd / den_d, 1e-12))
             rho_new = jnp.clip(rho_v[0] * ratio, 1e-6, 1e6)
             rho_new = jnp.where(jnp.isfinite(rho_new), rho_new, rho_v[0])
-            return (W, Zw, Yeq, Yw, rho_new[None, :])
+            return (W, Zw, Yeq, Yw, rho_new[None])
 
         # rho rounds unrolled (static, small) — Mosaic does not lower
         # lax.scan with array carries inside kernels
@@ -424,8 +763,8 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
         Yeq_out[:] = Yeq
         Yw_out[:] = Yw
         rho_out[:] = rho
-        rp_out[:] = rp[None, :]
-        rd_out[:] = rd[None, :]
+        rp_out[:] = rp[None]
+        rd_out[:] = rd[None]
 
     return kernel
 
@@ -438,22 +777,23 @@ def _solver_scratch(N: int, lanes: int):
     N <= 32 fast path keeps everything in SSA values instead; its scratch
     is minimal placeholders (the kernel never touches them)."""
     f32 = jnp.float32
+    ls = _lane_shape(lanes)
     if N <= 32:
         return [
-            pltpu.VMEM((1, 1, 1, lanes), f32),  # AB_s (unused)
-            pltpu.VMEM((1, 1, 1, lanes), f32),  # C_s (unused)
-            pltpu.VMEM((1, 1, lanes), f32),  # diag_s (unused)
-            pltpu.VMEM((1, 1, 1, lanes), f32),  # Sinv_s (unused)
-            pltpu.VMEM((1, 1, lanes), f32),  # v_s (unused)
-            pltpu.VMEM((1, 1, lanes), f32),  # w_s (unused)
+            pltpu.VMEM((1, 1, 1) + ls, f32),  # AB_s (unused)
+            pltpu.VMEM((1, 1, 1) + ls, f32),  # C_s (unused)
+            pltpu.VMEM((1, 1) + ls, f32),  # diag_s (unused)
+            pltpu.VMEM((1, 1, 1) + ls, f32),  # Sinv_s (unused)
+            pltpu.VMEM((1, 1) + ls, f32),  # v_s (unused)
+            pltpu.VMEM((1, 1) + ls, f32),  # w_s (unused)
         ]
     return [
-        pltpu.VMEM((N, NX, NW, lanes), f32),  # AB_s (stage-indexed reads)
-        pltpu.VMEM((N, NX, NW, lanes), f32),  # C_s (coupling, per factor)
-        pltpu.VMEM((N + 1, NW, lanes), f32),  # diag_s
-        pltpu.VMEM((N + 1, NW, NW, lanes), f32),  # Sinv_s
-        pltpu.VMEM((N + 1, NW, lanes), f32),  # v_s (forward substitution)
-        pltpu.VMEM((N + 1, NW, lanes), f32),  # w_s (backward substitution)
+        pltpu.VMEM((N, NX, NW) + ls, f32),  # AB_s (stage-indexed reads)
+        pltpu.VMEM((N, NX, NW) + ls, f32),  # C_s (coupling, per factor)
+        pltpu.VMEM((N + 1, NW) + ls, f32),  # diag_s
+        pltpu.VMEM((N + 1, NW, NW) + ls, f32),  # Sinv_s
+        pltpu.VMEM((N + 1, NW) + ls, f32),  # v_s (forward substitution)
+        pltpu.VMEM((N + 1, NW) + ls, f32),  # w_s (backward substitution)
     ]
 
 
@@ -517,13 +857,25 @@ def solve_ltv_qp_pallas(qp: LTVQP, warm: SolverCarry, cfg: SolverConfig,
     W0, Zw0, Yeq0, Yw0, rho0 = _pack_carry(warm)
 
     n_tiles = Bp // lanes
+    lblk = _lane_shape(lanes)
+    # 2-D packed tiles: split the trailing batch axis (..., Bp) ->
+    # (..., Bp/128, 128), a free reshape (contiguous batch); 1-D tiles pass
+    # through unchanged
+    if len(lblk) == 2:
+        LW = lblk[1]
+        rs = lambda a: a.reshape(a.shape[:-1] + (Bp // LW, LW))
+    else:
+        rs = lambda a: a
+    inputs = tuple(rs(a) for a in
+                   (AB, beq, Pd, qv, lw, uw, W0, Zw0, Yeq0, Yw0, rho0))
     kernel = _make_kernel(N, cfg)
 
     def spec(*block_shape):
         ndim = len(block_shape)
+        idx_tail = (lambda i: (i, 0)) if len(lblk) == 2 else (lambda i: (i,))
         return pl.BlockSpec(
-            block_shape + (lanes,),
-            (lambda *args: tuple([0] * ndim) + (args[-1],)),
+            block_shape + lblk,
+            (lambda i, _nd=ndim: tuple([0] * _nd) + idx_tail(i)),
             memory_space=pltpu.VMEM)
 
     grid_spec = pl.GridSpec(
@@ -553,14 +905,15 @@ def solve_ltv_qp_pallas(qp: LTVQP, warm: SolverCarry, cfg: SolverConfig,
         scratch_shapes=_solver_scratch(N, lanes),
     )
     f32 = jnp.float32
+    lb = (Bp // lblk[-1], lblk[-1]) if len(lblk) == 2 else (Bp,)
     out_shapes = [
-        jax.ShapeDtypeStruct((N + 1, NW, Bp), f32),
-        jax.ShapeDtypeStruct((N + 1, NW, Bp), f32),
-        jax.ShapeDtypeStruct((N + 1, NX, Bp), f32),
-        jax.ShapeDtypeStruct((N + 1, NW, Bp), f32),
-        jax.ShapeDtypeStruct((1, Bp), f32),
-        jax.ShapeDtypeStruct((1, Bp), f32),
-        jax.ShapeDtypeStruct((1, Bp), f32),
+        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
+        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
+        jax.ShapeDtypeStruct((N + 1, NX) + lb, f32),
+        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
+        jax.ShapeDtypeStruct((1,) + lb, f32),
+        jax.ShapeDtypeStruct((1,) + lb, f32),
+        jax.ShapeDtypeStruct((1,) + lb, f32),
     ]
 
     W, Zw, Yeq, Yw, rho, rp, rd = pl.pallas_call(
@@ -568,19 +921,21 @@ def solve_ltv_qp_pallas(qp: LTVQP, warm: SolverCarry, cfg: SolverConfig,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(AB, beq, Pd, qv, lw, uw, W0, Zw0, Yeq0, Yw0, rho0)
+    )(*inputs)
 
     # unpack back to (B, stages, ...) and trim padding
-    t = lambda a: jnp.transpose(a, (2, 0, 1))[:B]
+    t = lambda a: jnp.transpose(
+        a.reshape(a.shape[:2] + (Bp,)), (2, 0, 1))[:B]
     Wb = t(W)
     Zwb = t(Zw)
     Yeqb = t(Yeq)
     Ywb = t(Yw)
     X = Wb[..., :NX]
     U = Wb[..., :-1, NX:]
-    rp = rp[0, :B]
-    rd = rd[0, :B]
-    rho_b = rho[0, :B]
+    flat1 = lambda a: a.reshape(Bp)[:B]
+    rp = flat1(rp)
+    rd = flat1(rd)
+    rho_b = flat1(rho)
 
     finite = jnp.isfinite(Wb).all(axis=(-2, -1))
     eps_p = cfg.eps_abs + cfg.eps_rel * jnp.max(jnp.abs(Wb), axis=(-2, -1))
@@ -628,16 +983,16 @@ def _make_builder(N: int, mpc_cfg, model_cfg):
     inf = float(jnp.inf)
 
     def build(v, k, ds, lbc, ubc, x0, kp):
-        # v/k/ds: (N, L) horizon v_ref / kappa_ref / delta_s
-        # lbc/ubc: (N, L) corridor bounds for x_1..x_N
-        # x0: (3, L) measured spatial state; kp: (N, L) kappa predictions
-        L = v.shape[-1]
+        # v/k/ds: (N, *LS) horizon v_ref / kappa_ref / delta_s
+        # lbc/ubc: (N, *LS) corridor bounds for x_1..x_N
+        # x0: (3, *LS) measured spatial state; kp: (N, *LS) kappa predictions
+        LS = v.shape[1:]
         dt = v.dtype
         zN = jnp.zeros_like(v)
         oN = jnp.ones_like(v)
 
-        def full(val, shape):
-            return jnp.full(shape, val, dt)
+        def full(val, rows):
+            return jnp.full((rows,) + LS, val, dt)
 
         # stage matrices [A_n | B_n] (spatial_bicycle_models.py:404-417)
         r0 = jnp.stack([oN, ds, zN, zN, zN], axis=1)
@@ -650,35 +1005,35 @@ def _make_builder(N: int, mpc_cfg, model_cfg):
         beq = jnp.concatenate([-x0[None], uq], axis=0)  # (N+1, 3, L)
 
         # diagonal cost
-        Pd_body = jnp.stack([full(Q0, (N, L)), full(Q1, (N, L)),
-                             full(Q2, (N, L)), full(R0, (N, L)),
-                             full(R1, (N, L))], axis=1)
-        Pd_N = jnp.stack([full(QN0, (1, L)), full(QN1, (1, L)),
-                          full(QN2, (1, L)), full(0.0, (1, L)),
-                          full(0.0, (1, L))], axis=1)
+        Pd_body = jnp.stack([full(Q0, N), full(Q1, N),
+                             full(Q2, N), full(R0, N),
+                             full(R1, N)], axis=1)
+        Pd_N = jnp.stack([full(QN0, 1), full(QN1, 1),
+                          full(QN2, 1), full(0.0, 1),
+                          full(0.0, 1)], axis=1)
         Pd = jnp.concatenate([Pd_body, Pd_N], axis=0)  # (N+1, 5, L)
 
         # linear cost: e_y center-line reference + input references
         ctr = 0.5 * (lbc + ubc)  # (N, L) for stages 1..N
-        ey_col = jnp.concatenate([full(0.0, (1, L)), -Q0 * ctr[:-1],
+        ey_col = jnp.concatenate([full(0.0, 1), -Q0 * ctr[:-1],
                                   -QN0 * ctr[-1:]], axis=0)  # (N+1, L)
-        zc = jnp.zeros((N + 1, L), dt)
-        qu_v = jnp.concatenate([-R0 * v, full(0.0, (1, L))], axis=0)
-        qu_k = jnp.concatenate([-R1 * k, full(0.0, (1, L))], axis=0)
+        zc = jnp.zeros((N + 1,) + LS, dt)
+        qu_v = jnp.concatenate([-R0 * v, full(0.0, 1)], axis=0)
+        qu_k = jnp.concatenate([-R1 * k, full(0.0, 1)], axis=0)
         qv = jnp.stack([ey_col, zc, zc, qu_v, qu_k], axis=1)  # (N+1, 5, L)
 
         # bounds: e_y pinned at stage 0, corridor rows after; dynamic v cap
         l_ey = jnp.concatenate([x0[0:1], lbc], axis=0)  # (N+1, L)
         u_ey = jnp.concatenate([x0[0:1], ubc], axis=0)
         vmax_dyn = jnp.minimum(v_max, jnp.sqrt(ay_max / (jnp.abs(kp) + 1e-12)))
-        l_v = jnp.concatenate([full(v_min, (N, L)), full(-inf, (1, L))], axis=0)
-        u_v = jnp.concatenate([vmax_dyn, full(inf, (1, L))], axis=0)
-        l_k = jnp.concatenate([full(-kmax, (N, L)), full(-inf, (1, L))], axis=0)
-        u_k = jnp.concatenate([full(kmax, (N, L)), full(inf, (1, L))], axis=0)
-        lw = jnp.stack([l_ey, full(xmin[1], (N + 1, L)),
-                        full(xmin[2], (N + 1, L)), l_v, l_k], axis=1)
-        uw = jnp.stack([u_ey, full(xmax[1], (N + 1, L)),
-                        full(xmax[2], (N + 1, L)), u_v, u_k], axis=1)
+        l_v = jnp.concatenate([full(v_min, N), full(-inf, 1)], axis=0)
+        u_v = jnp.concatenate([vmax_dyn, full(inf, 1)], axis=0)
+        l_k = jnp.concatenate([full(-kmax, N), full(-inf, 1)], axis=0)
+        u_k = jnp.concatenate([full(kmax, N), full(inf, 1)], axis=0)
+        lw = jnp.stack([l_ey, full(xmin[1], N + 1),
+                        full(xmin[2], N + 1), l_v, l_k], axis=1)
+        uw = jnp.stack([u_ey, full(xmax[1], N + 1),
+                        full(xmax[2], N + 1), u_v, u_k], axis=1)
         return AB, beq, Pd, qv, lw, uw
 
     return build
@@ -710,18 +1065,26 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
         warm = jax.tree.map(padrep, warm)
     Bp = B + pad
 
-    t = lambda a: jnp.transpose(a, (1, 0))
+    lblk = _lane_shape(lanes)
+    if len(lblk) == 2:
+        LW = lblk[1]
+        rs = lambda a: a.reshape(a.shape[:-1] + (Bp // LW, LW))
+    else:
+        rs = lambda a: a
+    t = lambda a: rs(jnp.transpose(a, (1, 0)))
     raw = (t(v_ref), t(kappa_ref), t(delta_s), t(lb_c), t(ub_c),
            t(x0), t(kappa_pred))
-    W0, Zw0, Yeq0, Yw0, rho0 = _pack_carry(warm)
+    W0, Zw0, Yeq0, Yw0, rho0 = (
+        rs(a) for a in _pack_carry(warm))
 
     build = _make_builder(N, mpc_cfg, model_cfg)
     kernel = _make_kernel(N, cfg, build=build, n_raw=7)
 
     def spec(*block_shape):
         ndim = len(block_shape)
-        return pl.BlockSpec(block_shape + (lanes,),
-                            (lambda i, _nd=ndim: tuple([0] * _nd) + (i,)),
+        idx_tail = (lambda i: (i, 0)) if len(lblk) == 2 else (lambda i: (i,))
+        return pl.BlockSpec(block_shape + lblk,
+                            (lambda i, _nd=ndim: tuple([0] * _nd) + idx_tail(i)),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pl.GridSpec(
@@ -735,30 +1098,33 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
         scratch_shapes=_solver_scratch(N, lanes),
     )
     f32 = jnp.float32
+    lb = (Bp // lblk[-1], lblk[-1]) if len(lblk) == 2 else (Bp,)
     out_shapes = [
-        jax.ShapeDtypeStruct((N + 1, NW, Bp), f32),
-        jax.ShapeDtypeStruct((N + 1, NW, Bp), f32),
-        jax.ShapeDtypeStruct((N + 1, NX, Bp), f32),
-        jax.ShapeDtypeStruct((N + 1, NW, Bp), f32),
-        jax.ShapeDtypeStruct((1, Bp), f32),
-        jax.ShapeDtypeStruct((1, Bp), f32),
-        jax.ShapeDtypeStruct((1, Bp), f32),
+        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
+        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
+        jax.ShapeDtypeStruct((N + 1, NX) + lb, f32),
+        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
+        jax.ShapeDtypeStruct((1,) + lb, f32),
+        jax.ShapeDtypeStruct((1,) + lb, f32),
+        jax.ShapeDtypeStruct((1,) + lb, f32),
     ]
     W, Zw, Yeq, Yw, rho, rp, rd = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shapes,
         interpret=interpret,
     )(*raw, W0, Zw0, Yeq0, Yw0, rho0)
 
-    tb = lambda a: jnp.transpose(a, (2, 0, 1))[:B]
+    tb = lambda a: jnp.transpose(
+        a.reshape(a.shape[:2] + (Bp,)), (2, 0, 1))[:B]
     Wb = tb(W)
     Zwb = tb(Zw)
     Yeqb = tb(Yeq)
     Ywb = tb(Yw)
     X = Wb[..., :NX]
     U = Wb[..., :-1, NX:]
-    rp = rp[0, :B]
-    rd = rd[0, :B]
-    rho_b = rho[0, :B]
+    flat1 = lambda a: a.reshape(Bp)[:B]
+    rp = flat1(rp)
+    rd = flat1(rd)
+    rho_b = flat1(rho)
 
     finite = jnp.isfinite(Wb).all(axis=(-2, -1))
     eps_p = cfg.eps_abs + cfg.eps_rel * jnp.max(jnp.abs(Wb), axis=(-2, -1))

@@ -148,3 +148,116 @@ def test_fused_assembly_matches_xla_pipeline(sim_track):
                                np.asarray(ref.r_prim), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.U[:, 0, 0]),
                                np.asarray(ref.U[:, 0, 0]), atol=3e-3)
+
+
+# ---------------------------------------------------------------------------
+# Cyclic-reduction stage solver (round 3): same SPD stage system as the
+# Schur recursion, stage-batched planes + O(log N) levels.
+# ---------------------------------------------------------------------------
+
+CFG_CR = SolverConfig(iterations=30, rho_updates=3, stage_solver="cr")
+
+
+def test_cr_matches_schur_stage_solver(batch):
+    """CR vs Schur inside the same kernel: identical algorithm, different
+    (exact) linear-system solver — statuses and accepted controls agree at
+    the acceptance scale.  N=8 here means 9 stages padded to 15 = 2^4-1,
+    covering the non-power-of-two padding path."""
+    qps, batched, warm = batch
+    ref = solve_ltv_qp_pallas(batched, warm, CFG, lanes=8, interpret=True)
+    out = solve_ltv_qp_pallas(batched, warm, CFG_CR, lanes=8, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(out.status), np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.r_prim), np.asarray(ref.r_prim),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.U[..., 0]),
+                               np.asarray(ref.U[..., 0]), atol=2e-3)
+
+
+def test_cr_against_f64_oracle(batch):
+    """CR solution quality vs the float64 oracle (feasibility + gap)."""
+    qps, batched, warm = batch
+    out = solve_ltv_qp_pallas(
+        batched, warm,
+        SolverConfig(iterations=100, rho_updates=8, stage_solver="cr"),
+        lanes=8, interpret=True)
+    for i, qp in enumerate(qps):
+        P, q, A, l, u = materialize_dense(qp)
+        x_ref, _, _ = solve_qp_f64(P, q, A, l, u)
+        z = np.concatenate([np.asarray(out.X[i]).reshape(-1),
+                            np.asarray(out.U[i]).reshape(-1)])
+        assert primal_violation(A, l, u, z) < 2e-3, i
+        assert abs(optimality_gap(P, q, z, x_ref)) < 2e-3, i
+        assert int(out.status[i]) != admm.DIVERGED
+
+
+def test_cr_fused_assembly_scenario(sim_track):
+    """Fused-assembly kernel with the CR stage solver on real scenario QPs
+    (N=30 -> 31 = 2^5-1 stages, the exact-fit path) vs the Schur variant."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multi_purpose_mpc_tpu.mpc import (
+        kappa_predictions,
+        mpc_corridor,
+        mpc_locate,
+    )
+    from multi_purpose_mpc_tpu.models.bicycle import init_car_state
+    from multi_purpose_mpc_tpu.ops.admm_pallas import solve_mpc_qp_fused
+    from multi_purpose_mpc_tpu.ops.constraints import extract_all_segments
+    from multi_purpose_mpc_tpu.ops.path import gather_waypoint_index
+    from multi_purpose_mpc_tpu.ops.speed_profile import compute_speed_profile
+
+    path = compute_speed_profile(sim_track["path"], sim_track["speed_cfg"])
+    grid = sim_track["grid"]
+    cfg = sim_track["mpc_cfg"]
+    model = sim_track["model_cfg"]
+    segs = extract_all_segments(grid, path, 2 * model.safety_margin,
+                                n_samples=cfg.n_scan_samples,
+                                max_segments=cfg.max_segments)
+
+    B = 8
+    states = jax.vmap(
+        lambda i: init_car_state(path, cfg.N, e_y=0.005 * i, wp_id=13 * i)
+    )(jnp.arange(B))
+    located = jax.vmap(lambda s: mpc_locate(s, path))(states)
+    corridor = jax.vmap(
+        lambda w: mpc_corridor(w, path, grid, cfg, model, segs))(located[0])
+    wp_id, e_y, e_psi = located
+    idxs = jax.vmap(lambda w: gather_waypoint_index(path, w, jnp.arange(cfg.N))
+                    )(wp_id)
+    x0 = jnp.stack([e_y, e_psi, jnp.zeros_like(e_y)], -1)
+    kp = jax.vmap(lambda u: kappa_predictions(u, cfg.N))(states.u_seq)
+    args = (path.v_ref[idxs], path.kappa[idxs], path.seg_dist[idxs],
+            corridor.lb, corridor.ub, x0, kp, states.solver)
+
+    ref = solve_mpc_qp_fused(*args, cfg.solver, cfg, model,
+                             lanes=8, interpret=True)
+    cr_cfg = dataclasses.replace(cfg.solver, stage_solver="cr")
+    out = solve_mpc_qp_fused(*args, cr_cfg, cfg, model,
+                             lanes=8, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(out.status),
+                                  np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.r_prim),
+                               np.asarray(ref.r_prim), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.U[:, 0, 0]),
+                               np.asarray(ref.U[:, 0, 0]), atol=3e-3)
+
+
+def test_packed_lane_layout(batch):
+    """2-D sublane-packed lane tiles (lanes=1024 -> (8, 128) trailing block):
+    same kernel math as the 1-D layout, different vreg packing.  Unreachable
+    on the current Mosaic toolchain (compile failure at lanes >= 512, see
+    ops/admm_pallas._lane_shape), so interpret mode pins the layout plumbing:
+    pad-to-1024, (Bp/128, 128) reshape, block specs, and unpacking."""
+    qps, batched, warm = batch
+    ref = solve_ltv_qp_pallas(batched, warm, CFG, lanes=8, interpret=True)
+    out = solve_ltv_qp_pallas(batched, warm, CFG, lanes=1024, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(out.status), np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.r_prim), np.asarray(ref.r_prim),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.U[..., 0]),
+                               np.asarray(ref.U[..., 0]), atol=2e-3)
