@@ -302,29 +302,27 @@ def _pair_mask(py, px, valid, H: int, W: int):
     return counts > 0.5
 
 
-def fleet_writeback(grid: GridMap, occ: jnp.ndarray, x, y, psi,
-                    scans: LidarScan, cfg: LidarConfig,
-                    clear_free: bool = False, shared: bool = False,
-                    free_samples: int = 64,
-                    lane_chunk: int = 16) -> jnp.ndarray:
-    """Batched online map update with NO scatters: hit (and observed-free)
-    cells become dense masks via one-hot matmuls, then one elementwise grid
-    update.  Replaces per-lane ``update_grid_from_scan`` scatter-writes in
-    the fleet hot loop (measured 34 ms/step at B=256 on a v5e; the matmul
-    form is <1 ms).
+def fleet_observation_masks(grid: GridMap, h: int, w: int, x, y, psi,
+                            scans: LidarScan, cfg: LidarConfig,
+                            clear_free: bool = False, shared: bool = False,
+                            free_samples: int = 64, lane_chunk: int = 16):
+    """Dense hit / observed-free cell masks for a batch of scans, built with
+    one-hot matmuls (no scatters).  Returns ``(hitmask, freemask)`` with
+    ``freemask`` None unless ``clear_free``; shapes (H, W) pooled over all
+    lanes when ``shared`` else per-lane (B, H, W).
 
-    ``occ`` (B, H, W) per-lane (``shared=False``) or (H, W) (``shared=True``,
-    all lanes pooled into one map); ``scans`` carries a leading B axis.
-    Semantics match the scatter path: free-space clearing first, hits after,
-    so an observed obstacle always wins (order-independent per class).
+    Exposed separately from :func:`fleet_writeback` so multi-device shared
+    mapping can pool the masks ACROSS devices (max = logical-or is
+    commutative) before the single elementwise grid update — see
+    ``parallel.fleet.simulate_lidar_fleet_sharded``.
     """
     B = scans.ranges.shape[0]
-    h, w = occ.shape[-2:]
 
     hpx, hpy = w2m(grid, scans.hit_xy[..., 0], scans.hit_xy[..., 1])  # (B, nb)
     hpx = jnp.clip(hpx, 0, w - 1)
     hpy = jnp.clip(hpy, 0, h - 1)
 
+    freemask = None
     if clear_free:
         fpx, fpy = jax.vmap(
             lambda a, b, c, s: free_space_pixels(grid, a, b, c, s,
@@ -345,14 +343,46 @@ def fleet_writeback(grid: GridMap, occ: jnp.ndarray, x, y, psi,
                  fpx.reshape(nch, -1, fpx.shape[-1]),
                  fvalid.reshape(nch, -1, fpx.shape[-1])))
             freemask = fm.reshape(B, h, w)
-        occ = jnp.where(freemask, 1.0, occ)
 
     if shared:
         hitmask = _pair_mask(hpy.reshape(1, -1), hpx.reshape(1, -1),
                              scans.hit.reshape(1, -1), h, w)[0]
     else:
         hitmask = _pair_mask(hpy, hpx, scans.hit, h, w)  # (B, H, W)
+    return hitmask, freemask
+
+
+def apply_observation_masks(occ: jnp.ndarray, hitmask: jnp.ndarray,
+                            freemask: jnp.ndarray | None) -> jnp.ndarray:
+    """Elementwise grid update from observation masks: free-space clearing
+    first, hits after, so an observed obstacle always wins (the scatter
+    path's order, order-independent per class)."""
+    if freemask is not None:
+        occ = jnp.where(freemask, 1.0, occ)
     return jnp.where(hitmask, 0.0, occ)
+
+
+def fleet_writeback(grid: GridMap, occ: jnp.ndarray, x, y, psi,
+                    scans: LidarScan, cfg: LidarConfig,
+                    clear_free: bool = False, shared: bool = False,
+                    free_samples: int = 64,
+                    lane_chunk: int = 16) -> jnp.ndarray:
+    """Batched online map update with NO scatters: hit (and observed-free)
+    cells become dense masks via one-hot matmuls, then one elementwise grid
+    update.  Replaces per-lane ``update_grid_from_scan`` scatter-writes in
+    the fleet hot loop (measured 34 ms/step at B=256 on a v5e; the matmul
+    form is <1 ms).
+
+    ``occ`` (B, H, W) per-lane (``shared=False``) or (H, W) (``shared=True``,
+    all lanes pooled into one map); ``scans`` carries a leading B axis.
+    Semantics match the scatter path: free-space clearing first, hits after,
+    so an observed obstacle always wins (order-independent per class).
+    """
+    h, w = occ.shape[-2:]
+    hitmask, freemask = fleet_observation_masks(
+        grid, h, w, x, y, psi, scans, cfg, clear_free=clear_free,
+        shared=shared, free_samples=free_samples, lane_chunk=lane_chunk)
+    return apply_observation_masks(occ, hitmask, freemask)
 
 
 def free_space_pixels(grid: GridMap, x, y, psi, scan_out: LidarScan,

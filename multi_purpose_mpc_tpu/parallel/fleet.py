@@ -63,3 +63,98 @@ def simulate_fleet_sharded(mesh: Mesh, grid: GridMap, path: PathData,
         check_vma=False,
     )
     return jax.jit(fn)(grid, path, state0)
+
+
+def simulate_lidar_fleet_sharded(mesh: Mesh, true_grid: GridMap,
+                                 known_grid: GridMap, path: PathData,
+                                 cfg: MPCConfig, model: ModelConfig,
+                                 sim: SimConfig, lidar, state0: CarState,
+                                 clear_free: bool = False,
+                                 shared_grid: bool = False,
+                                 scan_backend: str = "auto",
+                                 writeback_backend: str = "auto",
+                                 table=None, cells=None):
+    """LiDAR-in-the-loop fleet with lanes (and their maps) sharded over
+    ``mesh`` — the multi-chip flavor of
+    :func:`~multi_purpose_mpc_tpu.simulation.simulate_lidar_fleet`.
+
+    Two grid semantics, two sharding stories:
+
+    * ``shared_grid=False``: per-lane online maps shard WITH their lanes —
+      the (B, H, W) map stack is the HBM-dominant state (Sim_Track at
+      B=256: 256 MB), so sharding it is what scales the fleet past one
+      chip's memory.  Zero collectives (lanes stay independent).
+    * ``shared_grid=True``: ONE cooperatively-built map, replicated, with
+      each device pooling its local lanes' observation masks and one
+      ``pmax`` (= logical-or, commutative) per mask class merging them over
+      ICI every step — every device's grid carry stays bitwise identical.
+      The semantics match single-device pooling exactly: hit/clear masks
+      are or-reduced over ALL lanes before one elementwise update.
+
+    World inputs (true grid, path, scanline/cell tables) are replicated.
+    Returns ``(SimResult, final_known_occ)`` with the occupancy sharded
+    per-lane or replicated shared, matching the unsharded function.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from multi_purpose_mpc_tpu.simulation import _simulate_lidar_fleet
+
+    if table is None:
+        from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
+
+        table = build_scanline_table(known_grid, path, cfg.n_scan_samples)
+    is_tpu = jax.default_backend() == "tpu"
+    if scan_backend == "auto":
+        scan_backend = "cells" if is_tpu else "march"
+    if writeback_backend == "auto":
+        if shared_grid:
+            writeback_backend = "dense"  # mask pooling rides the dense path
+        elif is_tpu:
+            writeback_backend = "fused" if not clear_free else "dense"
+        else:
+            writeback_backend = "scatter"
+    if shared_grid and writeback_backend != "dense":
+        raise ValueError("sharded shared-grid mapping pools observation "
+                         "masks across devices; writeback_backend must be "
+                         "'dense'")
+    if scan_backend == "cells" and cells is None:
+        from multi_purpose_mpc_tpu.ops.lidar import occupied_cell_table
+
+        cells = occupied_cell_table(true_grid.occ)
+    if scan_backend != "cells":
+        cells = None
+
+    B = state0.x.shape[0]
+    occ0 = known_grid.occ
+    if not shared_grid and occ0.ndim == 2:
+        occ0 = jnp.broadcast_to(occ0, (B,) + occ0.shape)
+    occ_spec = P() if shared_grid else P(FLEET_AXIS)
+
+    state0 = shard_fleet_state(state0, mesh)
+    occ0 = jax.device_put(occ0, NamedSharding(mesh, occ_spec))
+    true_grid = replicate(true_grid, mesh)
+    path = replicate(path, mesh)
+    table = replicate(table, mesh)
+    if cells is not None:
+        cells = jax.device_put(cells, NamedSharding(mesh, P()))
+
+    axis_name = FLEET_AXIS if shared_grid else None
+
+    def local_rollout(tg, pth, tbl, cl, occ_l, state_l):
+        kg = known_grid.replace(occ=occ_l)
+        return _simulate_lidar_fleet(
+            tg, kg, pth, cfg, model, sim, lidar, state_l, tbl, cl,
+            clear_free=clear_free, shared_grid=shared_grid,
+            scan_backend=scan_backend, writeback_backend=writeback_backend,
+            axis_name=axis_name)
+
+    fn = shard_map(
+        local_rollout,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), occ_spec, P(FLEET_AXIS)),
+        out_specs=(SimResult(final_state=P(FLEET_AXIS),
+                             log=P(None, FLEET_AXIS)), occ_spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)(true_grid, path, table, cells, occ0, state0)

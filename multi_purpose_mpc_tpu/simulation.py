@@ -276,16 +276,23 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "model", "sim", "lidar", "clear_free", "shared_grid",
-    "scan_backend", "writeback_backend"))
+    "scan_backend", "writeback_backend", "axis_name"))
 def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
                           path: PathData, cfg: MPCConfig, model: ModelConfig,
                           sim: SimConfig, lidar, state0: CarState, table,
                           cells, clear_free: bool = False,
                           shared_grid: bool = False,
                           scan_backend: str = "march",
-                          writeback_backend: str = "scatter"):
-    from multi_purpose_mpc_tpu.ops.lidar import (fleet_writeback, scan_fleet,
+                          writeback_backend: str = "scatter",
+                          axis_name: str | None = None):
+    from multi_purpose_mpc_tpu.ops.lidar import (apply_observation_masks,
+                                                 fleet_observation_masks,
+                                                 fleet_writeback, scan_fleet,
                                                  update_grid_from_scan)
+
+    if axis_name is not None and shared_grid and writeback_backend != "dense":
+        raise ValueError("multi-device shared-grid pooling needs the 'dense' "
+                         "write-back (observation masks)")
 
     B = state0.x.shape[0]
     occ0 = known_grid.occ
@@ -304,9 +311,21 @@ def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
         if shared_grid:
             kgrid = known_grid.replace(occ=occ)
             if writeback_backend == "dense":
-                new_occ = fleet_writeback(kgrid, occ, state.x, state.y,
-                                          state.psi, scans, lidar,
-                                          clear_free=clear_free, shared=True)
+                h, w = occ.shape[-2:]
+                hitmask, freemask = fleet_observation_masks(
+                    kgrid, h, w, state.x, state.y, state.psi, scans, lidar,
+                    clear_free=clear_free, shared=True)
+                if axis_name is not None:
+                    # cooperative mapping across devices: pooling masks is a
+                    # max (= logical-or), so one pmax per mask keeps every
+                    # device's replicated grid carry identical — the only
+                    # hot-loop collectives in the framework
+                    hitmask = jax.lax.pmax(hitmask.astype(jnp.float32),
+                                           axis_name) > 0.5
+                    if freemask is not None:
+                        freemask = jax.lax.pmax(freemask.astype(jnp.float32),
+                                                axis_name) > 0.5
+                new_occ = apply_observation_masks(occ, hitmask, freemask)
             else:
                 new_occ = kgrid.occ
                 if clear_free:
