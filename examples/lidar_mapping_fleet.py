@@ -42,6 +42,11 @@ def main():
                     choices=["auto", "march", "cells"],
                     help="march = point-sampled ray march; cells = exact "
                          "corner-span dense sweep (TPU fast path)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard lanes (and their maps) over all devices via "
+                         "parallel.fleet.simulate_lidar_fleet_sharded; with "
+                         "--shared the map is pooled across devices by "
+                         "per-step pmax collectives")
     ap.add_argument("--out", default="/tmp/lidar_fleet_map.png")
     args = ap.parse_args()
 
@@ -62,10 +67,20 @@ def main():
                         wp_id0=jnp.asarray(
                             rng.integers(0, path.n_wp, args.batch), jnp.int32))
 
-    res, occ = simulate_lidar_fleet(
-        true_grid, known0, path, mpc_cfg, model_cfg,
-        SimConfig(max_steps=args.steps, static_grid=False), lidar, fleet0,
-        shared_grid=args.shared, scan_backend=args.scan_backend)
+    if args.sharded:
+        from multi_purpose_mpc_tpu.parallel.fleet import (
+            simulate_lidar_fleet_sharded)
+        from multi_purpose_mpc_tpu.parallel.mesh import fleet_mesh
+
+        res, occ = simulate_lidar_fleet_sharded(
+            fleet_mesh(), true_grid, known0, path, mpc_cfg, model_cfg,
+            SimConfig(max_steps=args.steps, static_grid=False), lidar,
+            fleet0, shared_grid=args.shared, scan_backend=args.scan_backend)
+    else:
+        res, occ = simulate_lidar_fleet(
+            true_grid, known0, path, mpc_cfg, model_cfg,
+            SimConfig(max_steps=args.steps, static_grid=False), lidar, fleet0,
+            shared_grid=args.shared, scan_backend=args.scan_backend)
 
     act = np.asarray(res.log.active)
     print(f"batch {args.batch}, {args.steps} steps, "

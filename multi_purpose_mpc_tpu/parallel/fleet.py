@@ -103,7 +103,10 @@ def simulate_lidar_fleet_sharded(mesh: Mesh, true_grid: GridMap,
     if table is None:
         from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
 
-        table = build_scanline_table(known_grid, path, cfg.n_scan_samples)
+        tgrid = known_grid  # pure geometry: 2-D frame even for (B, H, W)
+        if known_grid.occ.ndim == 3:
+            tgrid = known_grid.replace(occ=known_grid.occ[0])
+        table = build_scanline_table(tgrid, path, cfg.n_scan_samples)
     is_tpu = jax.default_backend() == "tpu"
     if scan_backend == "auto":
         scan_backend = "cells" if is_tpu else "march"

@@ -248,7 +248,12 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
     if table is None:
         from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
 
-        table = build_scanline_table(known_grid, path, cfg.n_scan_samples)
+        # the table is pure geometry — when resuming with a per-lane
+        # (B, H, W) map stack, build it from the (identical) 2-D grid frame
+        tgrid = known_grid
+        if tgrid.occ.ndim == 3:
+            tgrid = tgrid.replace(occ=tgrid.occ[0])
+        table = build_scanline_table(tgrid, path, cfg.n_scan_samples)
     is_tpu = jax.default_backend() == "tpu"
     if scan_backend == "auto":
         scan_backend = "cells" if is_tpu else "march"

@@ -2,9 +2,12 @@
 state is 4 floats in object attributes; ours is a pytree snapshot).
 
 The complete simulator state is the :class:`CarState` pytree (plus optional
-log buffers), so save/restore is a flat array dump.  Uses ``orbax`` when
-available for production checkpoints, with a plain ``.npz`` fallback that has
-no extra dependencies — both store the same tree.
+log buffers), so save/restore is a flat array dump.  All helpers are
+pytree-GENERIC: the LiDAR-in-the-loop fleet checkpoints its
+``(CarState, known_occ)`` carry the same way (tested bitwise in
+tests/test_utils.py).  Uses ``orbax`` when available for production
+checkpoints, with a plain ``.npz`` fallback that has no extra dependencies —
+both store the same tree.
 """
 
 from __future__ import annotations

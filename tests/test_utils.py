@@ -48,6 +48,48 @@ def test_checkpoint_roundtrip_resumes_identically(sim_track, tmp_path):
                                   np.asarray(resumed.log.x))
 
 
+def test_lidar_fleet_checkpoint_resume(sim_track, tmp_path):
+    """Checkpoint/resume of the MAPPING fleet: the save/load helpers are
+    pytree-generic, so the (CarState, known-map carry) tuple snapshots and
+    resumes bitwise — the online map is part of the sim state."""
+    from multi_purpose_mpc_tpu.config import LidarConfig
+    from multi_purpose_mpc_tpu.ops.grid import make_grid_map
+    from multi_purpose_mpc_tpu.simulation import simulate_lidar_fleet
+
+    scenario = dict(sim_track,
+                    path=compute_speed_profile(sim_track["path"],
+                                               sim_track["speed_cfg"]))
+    true_grid = scenario["grid"]
+    known0 = make_grid_map(np.ones_like(np.asarray(true_grid.occ)),
+                           (float(true_grid.origin[0]),
+                            float(true_grid.origin[1])),
+                           float(true_grid.resolution))
+    lidar = LidarConfig(FoV=360, range=1.0, resolution=8, n_ray_samples=128)
+    fleet0 = init_fleet(scenario["path"], scenario["mpc_cfg"].N, batch=2,
+                        wp_id0=jnp.asarray([0, 70], jnp.int32))
+
+    def roll(state, occ, steps):
+        return simulate_lidar_fleet(
+            true_grid, known0.replace(occ=occ), scenario["path"],
+            scenario["mpc_cfg"], scenario["model_cfg"],
+            SimConfig(max_steps=steps), lidar, state)
+
+    res, occ_mid = roll(fleet0, known0.occ, 5)
+    ckpt = str(tmp_path / "lidar_fleet.npz")
+    save_fleet_state(ckpt, (res.final_state, occ_mid), step=5)
+    (restored, occ_restored), step = load_fleet_state(
+        ckpt, like=(res.final_state, occ_mid))
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(occ_mid),
+                                  np.asarray(occ_restored))
+
+    cont, occ_c = roll(res.final_state, occ_mid, 4)
+    resumed, occ_r = roll(restored, occ_restored, 4)
+    np.testing.assert_array_equal(np.asarray(cont.log.x),
+                                  np.asarray(resumed.log.x))
+    np.testing.assert_array_equal(np.asarray(occ_c), np.asarray(occ_r))
+
+
 def test_orbax_checkpoint_roundtrip(sim_track, tmp_path):
     """The orbax backend round-trips the fleet pytree bitwise (VERDICT weak #7)."""
     import pytest
