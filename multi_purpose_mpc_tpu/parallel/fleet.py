@@ -46,23 +46,34 @@ def simulate_fleet_sharded(mesh: Mesh, grid: GridMap, path: PathData,
     ``round_up_batch``).  World data (grid, path) is replicated.
     """
     state0 = shard_fleet_state(state0, mesh)
+
+    # the dynamic-grid path's scanline table carries host-concretized window
+    # metadata — build it OUTSIDE the traced shard_map body and replicate
+    table = None
+    if not sim.static_grid:
+        from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
+
+        table = replicate(
+            build_scanline_table(grid, path, cfg.n_scan_samples), mesh)
+
     grid = replicate(grid, mesh)
     path = replicate(path, mesh)
 
-    def local_rollout(grid_l, path_l, state_l):
+    def local_rollout(grid_l, path_l, state_l, table_l):
         # full per-device rollout on this shard of lanes (Pallas on TPU)
-        return simulate_fleet(grid_l, path_l, cfg, model, sim, state_l)
+        return simulate_fleet(grid_l, path_l, cfg, model, sim, state_l,
+                              table=table_l)
 
     fn = shard_map(
         local_rollout,
         mesh=mesh,
-        in_specs=(P(), P(), P(FLEET_AXIS)),
+        in_specs=(P(), P(), P(FLEET_AXIS), P()),
         # final_state: (B, ...) lanes-leading; logs: (T, B, ...) time-leading
         out_specs=SimResult(final_state=P(FLEET_AXIS),
                             log=P(None, FLEET_AXIS)),
         check_vma=False,
     )
-    return jax.jit(fn)(grid, path, state0)
+    return jax.jit(fn)(grid, path, state0, table)
 
 
 def simulate_lidar_fleet_sharded(mesh: Mesh, true_grid: GridMap,

@@ -86,6 +86,27 @@ def test_fleet_metrics_aggregate(scenario):
     assert np.isfinite(float(m["max_abs_e_y"]))
 
 
+def test_sharded_dynamic_grid_fleet(scenario):
+    """static_grid=False under sharding: per-step corridor re-extraction
+    (scanline-table backends) runs inside the shard_map body; the table is
+    built host-side outside the traced region."""
+    T = 4
+    mesh = fleet_mesh()
+    e_y0 = jnp.linspace(-0.03, 0.03, 8)
+    fleet0 = init_fleet(scenario["path"], scenario["mpc_cfg"].N, 8, e_y0=e_y0)
+    sim = SimConfig(max_steps=T, static_grid=False)
+
+    plain = simulate_fleet(scenario["grid"], scenario["path"],
+                           scenario["mpc_cfg"], scenario["model_cfg"],
+                           sim, fleet0)
+    shd = simulate_fleet_sharded(mesh, scenario["grid"], scenario["path"],
+                                 scenario["mpc_cfg"], scenario["model_cfg"],
+                                 sim, fleet0)
+    np.testing.assert_allclose(np.asarray(shd.log.v)[:2],
+                               np.asarray(plain.log.v)[:2], atol=5e-3)
+    assert np.asarray(shd.log.ok).mean() > 0.9
+
+
 def _all_free_like(grid):
     from multi_purpose_mpc_tpu.ops.grid import make_grid_map
 
