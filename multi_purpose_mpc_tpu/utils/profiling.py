@@ -68,3 +68,69 @@ def time_stages(stages: Dict[str, Callable], warmup: int = 2,
     """Time a dict of thunks; returns {name: median_seconds}."""
     return {name: timeit(fn, warmup=warmup, iters=iters)
             for name, fn in stages.items()}
+
+
+def _float_reduce(out):
+    """Scalar data-dependence on every float leaf (prevents DCE)."""
+    import jax.numpy as jnp
+
+    s = jnp.float32(0.0)
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            s = s + leaf.sum().astype(jnp.float32)
+    return s
+
+
+def scan_marginal_cost(fn: Callable, args: tuple, perturb: Callable,
+                       steps: int = 32, repeats: int = 3) -> float:
+    """Marginal per-iteration seconds of ``fn(*args)`` measured INSIDE one
+    ``lax.scan`` dispatch — the only reliable per-op timing on
+    remote-dispatch platforms (e.g. the axon TPU tunnel), where every
+    standalone call pays a fixed dispatch floor (~28 ms measured) that
+    swamps the op itself.
+
+    Method: run ``steps`` iterations of ``fn`` inside one scan, fenced with
+    :func:`fence`; run the same harness with a trivial body; report
+    ``(t_fn - t_trivial) / steps``.  ``perturb(args, i) -> args`` must make
+    the body iteration-dependent (e.g. shift an index by ``i % 2``) —
+    without it XLA hoists the loop-invariant body out of the scan and the
+    remote execution service dedups identical submissions, both of which
+    fake a near-zero cost.
+
+    Returns best-of-``repeats`` marginal seconds (>= 0).
+    """
+    import jax.numpy as jnp
+
+    def make(body_fn):
+        @jax.jit
+        def run(a):
+            def body(c, i):
+                ai = perturb(a, i)
+                return c + body_fn(ai), None
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(steps))
+            return out
+
+        return run
+
+    def trivial(ai):
+        # consume the perturbed args cheaply: one element per float leaf
+        s = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(ai):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.floating):
+                s = s + (leaf.ravel()[0] if leaf.ndim else leaf
+                         ).astype(jnp.float32)
+        return s
+
+    def best(run):
+        fence(run(args))  # compile
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fence(run(args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_floor = best(make(trivial))
+    t_fn = best(make(lambda ai: _float_reduce(fn(*ai))))
+    return max((t_fn - t_floor) / steps, 0.0)

@@ -14,7 +14,8 @@ from multi_purpose_mpc_tpu.config import SimConfig
 from multi_purpose_mpc_tpu.ops.speed_profile import compute_speed_profile
 from multi_purpose_mpc_tpu.simulation import init_fleet, simulate_fleet
 from multi_purpose_mpc_tpu.utils.checkpoint import load_fleet_state, save_fleet_state
-from multi_purpose_mpc_tpu.utils.profiling import time_stages, timeit
+from multi_purpose_mpc_tpu.utils.profiling import (scan_marginal_cost,
+                                                   time_stages, timeit)
 from multi_purpose_mpc_tpu.utils.viz import render_frame, render_trajectory
 
 
@@ -46,6 +47,25 @@ def test_checkpoint_roundtrip_resumes_identically(sim_track, tmp_path):
     resumed = _rollout(scenario, restored, 4)
     np.testing.assert_array_equal(np.asarray(cont.log.x),
                                   np.asarray(resumed.log.x))
+
+
+def test_scan_marginal_cost_orders_ops():
+    """The in-loop marginal-cost probe (the round-3 measurement rule as a
+    library utility): a real matmul must cost measurably more per iteration
+    than a cheap elementwise op, and both must be finite and >= 0."""
+    a = jnp.ones((256, 256), jnp.float32)
+
+    def perturb(args, i):
+        (x,) = args
+        return (x + (i % 2).astype(jnp.float32) * 1e-6,)
+
+    t_mm = scan_marginal_cost(lambda x: (x @ x) @ x, (a,), perturb,
+                              steps=16, repeats=2)
+    t_add = scan_marginal_cost(lambda x: x + 1.0, (a,), perturb,
+                               steps=16, repeats=2)
+    assert np.isfinite(t_mm) and np.isfinite(t_add)
+    assert t_mm >= 0.0 and t_add >= 0.0
+    assert t_mm > t_add
 
 
 def test_lidar_fleet_checkpoint_resume(sim_track, tmp_path):
