@@ -83,13 +83,18 @@ def build_scanline_table(grid: GridMap, path: PathData,
     py = jnp.clip(s.py, 0, h - 1)
 
     # 8-aligned row window per waypoint, sized to the worst-case row span
+    # MEASURED FROM THE ALIGNED START: row0 floors rmin to a multiple of 8
+    # (Mosaic dynamic-slice alignment), which costs up to 7 rows of the
+    # window — the coverage condition is rmax < row0 + window_rows, so the
+    # span that must fit is (rmax - floor8(rmin) + 1), not (rmax - rmin + 1)
     rmin = py.min(axis=1)
     rmax = py.max(axis=1)
-    span = int(jnp.max(rmax - rmin)) + 1
+    rmin8 = (rmin // 8) * 8
+    span = int(jnp.max(rmax - rmin8)) + 1
     window_rows = max(((span + 7) // 8) * 8, 8)
     window_rows = min(((window_rows + 127) // 128) * 128
                       if window_rows > 128 else 128, ((h + 7) // 8) * 8)
-    row0 = jnp.clip((rmin // 8) * 8, 0, max(h - window_rows, 0))
+    row0 = jnp.clip(rmin8, 0, max(h - window_rows, 0))
     if span > window_rows:  # window can't cover the span: degenerate config
         raise ValueError(
             f"scanline row span {span} exceeds window {window_rows}; "
@@ -139,6 +144,7 @@ def extract_occ_onehot(occ: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
     iw = jnp.arange(W, dtype=px.dtype)
     ih = jnp.arange(H, dtype=py.dtype)
 
+    chunk = min(chunk, N)  # short horizons: px[:, :n_pad] needs n_pad <= N
     n_pad = (-N) % chunk
     if n_pad:
         px = jnp.concatenate([px, px[:, :n_pad]], axis=1)
@@ -168,35 +174,53 @@ def extract_occ_onehot(occ: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def scanline_window_rows(read_window, px_ref, py_ref, row0_at,
+                         N: int, K: int, W: int, R: int) -> jnp.ndarray:
+    """Shared kernel-body fragment: contract the lane's N scanline windows
+    against a VMEM-resident grid (one bf16 one-hot dot + row-mask reduction
+    per waypoint).  Used verbatim by the extraction kernel here AND the
+    fused write-back+extraction kernel (:mod:`..ops.mapping_pallas`) so
+    window semantics cannot drift between them.
+
+    ``read_window(r0_aligned) -> (R, W)`` reads the grid window;
+    ``row0_at(n)`` reads the waypoint's 8-aligned window start (from
+    scalar-prefetch SMEM — Mosaic requires dynamic-slice starts there, and
+    the ``pl.multiple_of`` hint to allow a dynamic sublane-dim start).
+    Returns the (N, K) occupancy values.
+    """
+    iw = jax.lax.broadcasted_iota(jnp.int32, (K, W), 1)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
+    rows = []
+    for n in range(N):
+        r0 = row0_at(n)
+        r0a = pl.multiple_of(r0, 8)  # 8-aligned by construction
+        win = read_window(r0a)  # (R, W)
+        px = px_ref[0, n]  # (K,)
+        py = py_ref[0, n]
+        colOH = (px[:, None] == iw).astype(jnp.bfloat16)  # (K, W)
+        colsel = jax.lax.dot_general(
+            colOH, win.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (K, R)
+        rowOH = (py[:, None] - r0) == ir
+        rows.append(jnp.where(rowOH, colsel, 0.0).sum(axis=1))
+    return jnp.stack(rows)  # (N, K)
+
+
 def _make_extract_kernel(N: int, K: int, H: int, W: int, R: int,
                          shared: bool):
     """One program = one lane: the lane's grid stays VMEM-resident while all
     N scanlines contract against a dynamic R-row window around each."""
 
     def kernel(row0_ref, occ_ref, px_ref, py_ref, out_ref):
-        iw = jax.lax.broadcasted_iota(jnp.int32, (K, W), 1)
-        ir = jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
         b = pl.program_id(0)
-        rows = []
-        for n in range(N):
-            r0 = row0_ref[b, n]  # scalar-prefetch read (SMEM, whole array)
-            # row0 is 8-aligned by construction (build_scanline_table);
-            # Mosaic needs the hint to allow a dynamic sublane-dim start
-            r0a = pl.multiple_of(r0, 8)
-            if shared:
-                win = occ_ref[pl.dslice(r0a, R), :]  # (R, W)
-            else:
-                win = occ_ref[0, pl.dslice(r0a, R), :]
-            px = px_ref[0, n]  # (K,)
-            py = py_ref[0, n]
-            colOH = (px[:, None] == iw).astype(jnp.bfloat16)  # (K, W)
-            colsel = jax.lax.dot_general(
-                colOH, win.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (K, R)
-            rowOH = (py[:, None] - r0) == ir
-            rows.append(jnp.where(rowOH, colsel, 0.0).sum(axis=1))
-        out_ref[0] = jnp.stack(rows)  # (N, K)
+        if shared:
+            read = lambda r0a: occ_ref[pl.dslice(r0a, R), :]
+        else:
+            read = lambda r0a: occ_ref[0, pl.dslice(r0a, R), :]
+        out_ref[0] = scanline_window_rows(read, px_ref, py_ref,
+                                          lambda n: row0_ref[b, n],
+                                          N, K, W, R)
 
     return kernel
 

@@ -211,7 +211,25 @@ def corridor_select_pallas_segs(path: PathData, segs: SegmentCandidates,
     lbxy = jnp.transpose(segs.lb_xy, (1, 2, 3, 0))
     valid = jnp.transpose(segs.valid.astype(jnp.float32), (1, 2, 0))
 
-    kernel = _make_kernel(N, S, float(safety_margin))
+    return select_call_lanes_last(ubxy, lbxy, valid, wx, wy, cpsi, spsi,
+                                  ds, cprev, sprev, N=N, S=S,
+                                  safety_margin=float(safety_margin),
+                                  out_batch=B, lanes=lanes,
+                                  interpret=interpret)
+
+
+def select_call_lanes_last(ubxy, lbxy, valid, wx, wy, cpsi, spsi, ds, cprev,
+                           sprev, *, N: int, S: int, safety_margin: float,
+                           out_batch: int, lanes: int,
+                           interpret: bool = False) -> Corridor:
+    """Shared ``pallas_call`` plumbing for the selection kernel: takes the
+    kernel-layout inputs (lanes-LAST, batch pre-padded to a multiple of
+    ``lanes``), tiles the lane axis, and unpacks the Corridor (first
+    ``out_batch`` lanes).  Used by both selection entry points here and the
+    windowed-horizon-table path (:mod:`..ops.horizon_table`) so block specs
+    and output unpacking cannot drift."""
+    Bp = wx.shape[-1]
+    kernel = _make_kernel(N, S, safety_margin)
 
     def spec(*block_shape):
         ndim = len(block_shape)
@@ -238,6 +256,7 @@ def corridor_select_pallas_segs(path: PathData, segs: SegmentCandidates,
         interpret=interpret,
     )(ubxy, lbxy, valid, wx, wy, cpsi, spsi, ds, cprev, sprev)
 
+    B = out_batch
     return Corridor(ub=jnp.transpose(ub, (1, 0))[:B],
                     lb=jnp.transpose(lb, (1, 0))[:B],
                     border_ub=jnp.transpose(cub, (2, 0, 1))[:B],

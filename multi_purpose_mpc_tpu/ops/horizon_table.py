@@ -99,17 +99,13 @@ def corridor_select_from_block(blk: jnp.ndarray, cfg: MPCConfig,
                                interpret: bool = False) -> Corridor:
     """Corridor continuity selection from a gathered window block.
 
-    Same kernel and semantics as
-    :func:`...corridor_pallas.corridor_select_pallas` (cross-checked
-    bitwise by tests) — only the input plumbing differs: the (B, N, F)
-    block replaces ten separate (B, N)-indexed gathers.
+    Same kernel and call plumbing as
+    :func:`...corridor_pallas.corridor_select_pallas` (delegates to
+    ``select_call_lanes_last``; cross-checked bitwise by tests) — only the
+    input views differ: column slices of the (B, N, F) block replace ten
+    separate (B, N)-indexed gathers.
     """
-    import jax.numpy as jnp  # noqa: F811 (kept local for clarity)
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from multi_purpose_mpc_tpu.ops.corridor_pallas import _make_kernel
+    from multi_purpose_mpc_tpu.ops.corridor_pallas import select_call_lanes_last
 
     N = cfg.N
     S = cfg.max_segments
@@ -135,34 +131,8 @@ def corridor_select_from_block(blk: jnp.ndarray, cfg: MPCConfig,
                          (1, 2, 3, 0))
     valid = jnp.transpose(blk[..., va0:va0 + S], (1, 2, 0))
 
-    kernel = _make_kernel(N, S, float(safety_margin))
-
-    def spec(*block_shape):
-        ndim = len(block_shape)
-        return pl.BlockSpec(block_shape + (lanes,),
-                            (lambda i, _nd=ndim: tuple([0] * _nd) + (i,)),
-                            memory_space=pltpu.VMEM)
-
-    grid_spec = pl.GridSpec(
-        grid=(Bp // lanes,),
-        in_specs=[spec(N, S, 2), spec(N, S, 2), spec(N, S),
-                  spec(N), spec(N), spec(N), spec(N),
-                  spec(N), spec(N), spec(N)],
-        out_specs=[spec(N), spec(N), spec(N, 2), spec(N, 2)],
-    )
-    f32 = jnp.float32
-    out_shapes = [
-        jax.ShapeDtypeStruct((N, Bp), f32),
-        jax.ShapeDtypeStruct((N, Bp), f32),
-        jax.ShapeDtypeStruct((N, 2, Bp), f32),
-        jax.ShapeDtypeStruct((N, 2, Bp), f32),
-    ]
-    ub, lb, cub, clb = pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shapes,
-        interpret=interpret,
-    )(ubxy, lbxy, valid, wx, wy, cpsi, spsi, ds, cprev, sprev)
-
-    return Corridor(ub=jnp.transpose(ub, (1, 0))[:B],
-                    lb=jnp.transpose(lb, (1, 0))[:B],
-                    border_ub=jnp.transpose(cub, (2, 0, 1))[:B],
-                    border_lb=jnp.transpose(clb, (2, 0, 1))[:B])
+    return select_call_lanes_last(ubxy, lbxy, valid, wx, wy, cpsi, spsi,
+                                  ds, cprev, sprev, N=N, S=S,
+                                  safety_margin=float(safety_margin),
+                                  out_batch=B, lanes=lanes,
+                                  interpret=interpret)

@@ -302,6 +302,27 @@ def _pair_mask(py, px, valid, H: int, W: int):
     return counts > 0.5
 
 
+def _pair_mask_pooled(py, px, valid, h: int, w: int,
+                      chunk_elems: int = 1 << 17):
+    """One pooled (h, w) mask from FLAT (S,) point lists — ``_pair_mask``
+    chunked over the sample axis so the (h, S_chunk) one-hot intermediates
+    stay bounded (~128 MB bf16 at the default chunk) at any fleet scale;
+    chunk masks combine with ``any`` (or is monotone)."""
+    S = py.shape[0]
+    pad = (-S) % chunk_elems
+    if pad and S > chunk_elems:
+        py = jnp.concatenate([py, jnp.zeros(pad, py.dtype)])
+        px = jnp.concatenate([px, jnp.zeros(pad, px.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+    if S <= chunk_elems:
+        return _pair_mask(py[None], px[None], valid[None], h, w)[0]
+    nch = (S + pad) // chunk_elems
+    m = jax.lax.map(
+        lambda t: _pair_mask(t[0][None], t[1][None], t[2][None], h, w)[0],
+        (py.reshape(nch, -1), px.reshape(nch, -1), valid.reshape(nch, -1)))
+    return m.any(axis=0)
+
+
 def fleet_observation_masks(grid: GridMap, h: int, w: int, x, y, psi,
                             scans: LidarScan, cfg: LidarConfig,
                             clear_free: bool = False, shared: bool = False,
@@ -330,8 +351,8 @@ def fleet_observation_masks(grid: GridMap, h: int, w: int, x, y, psi,
         )(x, y, psi, scans)  # (B, nb * F)
         fvalid = jnp.ones(fpx.shape, bool)
         if shared:
-            freemask = _pair_mask(fpy.reshape(1, -1), fpx.reshape(1, -1),
-                                  fvalid.reshape(1, -1), h, w)[0]
+            freemask = _pair_mask_pooled(fpy.reshape(-1), fpx.reshape(-1),
+                                         fvalid.reshape(-1), h, w)
         else:
             # lane-chunked: the (B, H, nb*F) one-hot is too big in one piece
             nch = max(B // lane_chunk, 1)
@@ -345,8 +366,8 @@ def fleet_observation_masks(grid: GridMap, h: int, w: int, x, y, psi,
             freemask = fm.reshape(B, h, w)
 
     if shared:
-        hitmask = _pair_mask(hpy.reshape(1, -1), hpx.reshape(1, -1),
-                             scans.hit.reshape(1, -1), h, w)[0]
+        hitmask = _pair_mask_pooled(hpy.reshape(-1), hpx.reshape(-1),
+                                    scans.hit.reshape(-1), h, w)
     else:
         hitmask = _pair_mask(hpy, hpx, scans.hit, h, w)  # (B, H, W)
     return hitmask, freemask

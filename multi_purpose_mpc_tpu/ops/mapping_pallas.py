@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multi_purpose_mpc_tpu.ops.corridor_extract import scanline_window_rows
+
 
 def _make_fused_kernel(N: int, K: int, Hp: int, W: int, R: int, nbp: int):
     """One program = one lane: hit write-back into the VMEM-resident grid,
@@ -59,24 +61,11 @@ def _make_fused_kernel(N: int, K: int, Hp: int, W: int, R: int, nbp: int):
         new_occ = jnp.where(counts > 0.5, 0.0, occ_ref[0])
         occ_out_ref[0] = new_occ
 
-        # --- extraction: N scanline windows against the updated grid ---
-        iwk = jax.lax.broadcasted_iota(jnp.int32, (K, W), 1)
-        ir = jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
-        rows = []
-        for n in range(N):
-            r0 = row0_ref[b, n]  # scalar-prefetch read (SMEM)
-            r0a = pl.multiple_of(r0, 8)  # 8-aligned by construction
-            win = occ_out_ref[0, pl.dslice(r0a, R), :]  # (R, W) updated grid
-            px = px_ref[0, n]  # (K,)
-            py = py_ref[0, n]
-            colOHn = (px[:, None] == iwk).astype(jnp.bfloat16)  # (K, W)
-            colsel = jax.lax.dot_general(
-                colOHn, win.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (K, R)
-            rowOHn = (py[:, None] - r0) == ir
-            rows.append(jnp.where(rowOHn, colsel, 0.0).sum(axis=1))
-        vals_ref[0] = jnp.stack(rows)  # (N, K)
+        # --- extraction: N scanline windows against the UPDATED grid ---
+        # shared fragment with ops.corridor_extract (bitwise the same math)
+        vals_ref[0] = scanline_window_rows(
+            lambda r0a: occ_out_ref[0, pl.dslice(r0a, R), :],
+            px_ref, py_ref, lambda n: row0_ref[b, n], N, K, W, R)
 
     return kernel
 

@@ -109,7 +109,8 @@ def simulate_lidar_fleet_sharded(mesh: Mesh, true_grid: GridMap,
     import jax.numpy as jnp
     from jax.sharding import NamedSharding
 
-    from multi_purpose_mpc_tpu.simulation import _simulate_lidar_fleet
+    from multi_purpose_mpc_tpu.simulation import (_simulate_lidar_fleet,
+                                                  resolve_lidar_backends)
 
     if table is None:
         from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
@@ -118,20 +119,9 @@ def simulate_lidar_fleet_sharded(mesh: Mesh, true_grid: GridMap,
         if known_grid.occ.ndim == 3:
             tgrid = known_grid.replace(occ=known_grid.occ[0])
         table = build_scanline_table(tgrid, path, cfg.n_scan_samples)
-    is_tpu = jax.default_backend() == "tpu"
-    if scan_backend == "auto":
-        scan_backend = "cells" if is_tpu else "march"
-    if writeback_backend == "auto":
-        if shared_grid:
-            writeback_backend = "dense"  # mask pooling rides the dense path
-        elif is_tpu:
-            writeback_backend = "fused" if not clear_free else "dense"
-        else:
-            writeback_backend = "scatter"
-    if shared_grid and writeback_backend != "dense":
-        raise ValueError("sharded shared-grid mapping pools observation "
-                         "masks across devices; writeback_backend must be "
-                         "'dense'")
+    scan_backend, writeback_backend = resolve_lidar_backends(
+        shared_grid, clear_free, scan_backend, writeback_backend,
+        multi_device=True)
     if scan_backend == "cells" and cells is None:
         from multi_purpose_mpc_tpu.ops.lidar import occupied_cell_table
 

@@ -54,6 +54,7 @@ def init_distributed(coordinator_address: Optional[str] = None,
     Tested seam status: mesh/batch logic below is unit-tested; an actual
     multi-host run needs pod hardware this environment does not have.
     """
+    import importlib.util
     import os
 
     from jax._src import distributed as _dist
@@ -64,19 +65,26 @@ def init_distributed(coordinator_address: Optional[str] = None,
     env = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not explicit and env is None:
         # TPU pods self-describe: argument-less initialize() reads pod
-        # metadata.  Only attempt it on a genuine TPU backend; anywhere else
-        # a single process is the normal case, not an error.
-        try:
-            is_tpu = jax.default_backend() == "tpu"
-        except Exception:
-            is_tpu = False
+        # metadata.  CRITICAL: jax.distributed.initialize() raises if any
+        # XLA backend already initialized, so the "is this a TPU machine?"
+        # probe must be BACKEND-FREE — jax.default_backend() would itself
+        # initialize backends and make the subsequent initialize() a
+        # guaranteed RuntimeError (dead code).  Signals that work without
+        # touching a backend: libtpu installed (every Cloud TPU VM image),
+        # TPU pod env vars, or a platform request naming tpu.
+        is_tpu = (importlib.util.find_spec("libtpu") is not None
+                  or "TPU_WORKER_HOSTNAMES" in os.environ
+                  or "TPU_NAME" in os.environ
+                  or "tpu" in (os.environ.get("JAX_PLATFORMS") or ""))
         if not is_tpu:
-            return False  # single-process: nothing to do
+            return False  # single-process CPU/GPU: nothing to do
         try:
             jax.distributed.initialize()
             return True
         except Exception:
-            return False  # single-host TPU VM without pod metadata
+            # single-host TPU VM without pod metadata, or called after
+            # backend init (callers must invoke this before any JAX compute)
+            return False
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -209,6 +209,40 @@ def simulate_lidar_loop(true_grid: GridMap, known_grid: GridMap,
         known_grid.replace(occ=jnp.squeeze(occ, 0)))
 
 
+def resolve_lidar_backends(shared_grid: bool, clear_free: bool,
+                           scan_backend: str, writeback_backend: str,
+                           multi_device: bool = False):
+    """Resolve ``"auto"`` scan/write-back backends and validate the
+    combination — ONE policy shared by :func:`simulate_lidar_fleet` and the
+    sharded wrapper (`parallel.fleet.simulate_lidar_fleet_sharded`), so the
+    two entry points cannot drift.
+
+    ``multi_device=True`` (sharded, shared grid) forces the ``dense``
+    write-back: cross-device pooling rides observation masks.
+    """
+    is_tpu = jax.default_backend() == "tpu"
+    if scan_backend == "auto":
+        scan_backend = "cells" if is_tpu else "march"
+    if writeback_backend == "auto":
+        if shared_grid:
+            # mask-pooling path — required across devices; single-device
+            # 'dense' (TPU) and 'scatter' (CPU) pools are equivalent
+            writeback_backend = ("dense" if is_tpu or multi_device
+                                 else "scatter")
+        elif is_tpu:
+            writeback_backend = "fused" if not clear_free else "dense"
+        else:
+            writeback_backend = "scatter"
+    if writeback_backend == "fused" and (shared_grid or clear_free):
+        raise ValueError("fused writeback supports per-lane grids with "
+                         "clear_free=False; use 'dense' or 'scatter'")
+    if multi_device and shared_grid and writeback_backend != "dense":
+        raise ValueError("multi-device shared-grid mapping pools observation "
+                         "masks across devices; writeback_backend must be "
+                         "'dense'")
+    return scan_backend, writeback_backend
+
+
 def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
                          path: PathData, cfg: MPCConfig, model: ModelConfig,
                          sim: SimConfig, lidar, state0: CarState,
@@ -254,17 +288,8 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
         if tgrid.occ.ndim == 3:
             tgrid = tgrid.replace(occ=tgrid.occ[0])
         table = build_scanline_table(tgrid, path, cfg.n_scan_samples)
-    is_tpu = jax.default_backend() == "tpu"
-    if scan_backend == "auto":
-        scan_backend = "cells" if is_tpu else "march"
-    if writeback_backend == "auto":
-        if is_tpu and not shared_grid and not clear_free:
-            writeback_backend = "fused"  # one-kernel writeback + extraction
-        else:
-            writeback_backend = "dense" if is_tpu else "scatter"
-    if writeback_backend == "fused" and (shared_grid or clear_free):
-        raise ValueError("fused writeback supports per-lane grids with "
-                         "clear_free=False; use 'dense' or 'scatter'")
+    scan_backend, writeback_backend = resolve_lidar_backends(
+        shared_grid, clear_free, scan_backend, writeback_backend)
     if scan_backend == "cells" and cells is None:
         from multi_purpose_mpc_tpu.ops.lidar import occupied_cell_table
 
@@ -298,6 +323,11 @@ def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
     if axis_name is not None and shared_grid and writeback_backend != "dense":
         raise ValueError("multi-device shared-grid pooling needs the 'dense' "
                          "write-back (observation masks)")
+    if writeback_backend == "fused" and (shared_grid or clear_free):
+        # the fused kernel writes hits only — guard at the dispatch layer so
+        # EVERY caller (incl. the sharded wrapper) rejects the combination
+        raise ValueError("fused writeback supports per-lane grids with "
+                         "clear_free=False; use 'dense' or 'scatter'")
 
     B = state0.x.shape[0]
     occ0 = known_grid.occ

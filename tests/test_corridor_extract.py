@@ -63,6 +63,28 @@ def test_table_matches_inline_sampling(setup):
     assert (r0 % 8 == 0).all()
 
 
+def test_window_covers_alignment_slack():
+    """row0 floors rmin to a multiple of 8, so the window must be sized for
+    span + alignment slack (up to 7 rows).  A scanline spanning rows 15..140
+    (raw span 126 < 128, aligned span 133 > 128) used to pass the guard yet
+    read rows 136..140 outside the window as occupied."""
+    from types import SimpleNamespace
+
+    from multi_purpose_mpc_tpu.ops.grid import make_grid_map
+
+    grid = make_grid_map(np.ones((200, 256), np.float32), (0.0, 0.0), 0.01)
+    path = SimpleNamespace(
+        border_ub=jnp.asarray([[0.505, 1.405]], jnp.float32),  # row 140
+        border_lb=jnp.asarray([[0.505, 0.155]], jnp.float32))  # row 15
+    t = build_scanline_table(grid, path, n_samples=256)
+    py = np.asarray(t.py)
+    r0 = np.asarray(t.row0)
+    assert (py.min(1) >= r0).all()
+    assert (py.max(1) < r0 + t.window_rows).all(), (
+        py.max(), r0, t.window_rows)
+    assert (r0 % 8 == 0).all()
+
+
 def test_extraction_backends_agree(setup):
     t, idx, occ_b = setup["table"], setup["idx"], setup["occ_b"]
     px, py, _, _, _, row0 = horizon_tables(t, idx)
