@@ -128,6 +128,36 @@ def main():
     _ = float(np.asarray(lres.log.x.sum() + lres.log.v.sum()))
     lidar_rate = LIDAR_BATCH * LIDAR_STEPS / (time.perf_counter() - t0)
 
+    # Real_Track fleet (the reference's second scenario, simulation.py:58-88):
+    # non-circular 867x767 real map, Monte-Carlo starts over the first half
+    from multi_purpose_mpc_tpu.config import real_track_preset
+
+    rt_map, rt_path_cfg, rt_model, rt_mpc, rt_speed, _ = real_track_preset(
+        asset_dir="/root/repo/assets/maps")
+    rt_grid = load_grid_map(rt_map)
+    rt_path = build_reference_path(rt_grid, rt_path_cfg)
+    rt_path = compute_speed_profile(rt_path, rt_speed)
+    RT_BATCH = 1024
+    RT_STEPS = 30
+
+    def make_rt_fleet(seed):
+        rng = np.random.default_rng(seed + salt)
+        return init_fleet(
+            rt_path, rt_mpc.N, RT_BATCH,
+            e_y0=jnp.asarray(rng.uniform(-0.1, 0.1, RT_BATCH), jnp.float32),
+            wp_id0=jnp.asarray(rng.integers(0, rt_path.n_wp // 2, RT_BATCH),
+                               jnp.int32))
+
+    rt_sim = SimConfig(max_steps=RT_STEPS)
+    rt_res = simulate_fleet(rt_grid, rt_path, rt_mpc, rt_model, rt_sim,
+                            make_rt_fleet(6))
+    _ = float(np.asarray(rt_res.log.x.sum()))  # warm + fence
+    t0 = time.perf_counter()
+    rt_res = simulate_fleet(rt_grid, rt_path, rt_mpc, rt_model, rt_sim,
+                            make_rt_fleet(7))
+    _ = float(np.asarray(rt_res.log.x.sum() + rt_res.log.v.sum()))
+    rt_rate = RT_BATCH * RT_STEPS / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "closed-loop MPC car-steps/sec (linearize+corridor+QP+rollout), batch 4096, obstacle-avoidance config",
         "value": round(car_steps_per_sec, 1),
@@ -141,6 +171,8 @@ def main():
             "single_car_steps_per_sec": round(single_steps_per_sec, 1),
             "lidar_fleet_steps_per_sec": round(lidar_rate, 1),
             "lidar_fleet_batch": LIDAR_BATCH,
+            "real_track_steps_per_sec": round(rt_rate, 1),
+            "real_track_batch": RT_BATCH,
             "device": str(jax.devices()[0]),
         },
     }))
