@@ -173,6 +173,46 @@ def test_lidar_fleet_shared_grid_clear_free(scenario):
     assert kept == phantom_before
 
 
+def test_resolve_lidar_backends_policy():
+    """One policy for both entry points (review finding: the duplicated
+    resolution had already drifted).  On this CPU test host:"""
+    from multi_purpose_mpc_tpu.simulation import resolve_lidar_backends
+
+    assert resolve_lidar_backends(False, False, "auto", "auto") == \
+        ("march", "scatter")
+    assert resolve_lidar_backends(True, False, "auto", "auto") == \
+        ("march", "scatter")
+    # sharded shared grid must pool masks -> dense, even on CPU
+    assert resolve_lidar_backends(True, False, "auto", "auto",
+                                  multi_device=True) == ("march", "dense")
+    with pytest.raises(ValueError, match="fused"):
+        resolve_lidar_backends(False, True, "auto", "fused")
+    with pytest.raises(ValueError, match="fused"):
+        resolve_lidar_backends(True, False, "auto", "fused")
+    with pytest.raises(ValueError, match="dense"):
+        resolve_lidar_backends(True, False, "auto", "scatter",
+                               multi_device=True)
+
+
+def test_pair_mask_pooled_chunking():
+    """The chunked pooled-mask path (big fleets) == the single-call path."""
+    from multi_purpose_mpc_tpu.ops.lidar import _pair_mask_pooled
+
+    rng = np.random.default_rng(3)
+    S, h, w = 1000, 40, 56
+    py = jnp.asarray(rng.integers(0, h, S), jnp.int32)
+    px = jnp.asarray(rng.integers(0, w, S), jnp.int32)
+    valid = jnp.asarray(rng.random(S) < 0.7)
+    one = _pair_mask_pooled(py, px, valid, h, w)  # S < default chunk
+    for chunk in (128, 250, 999, 1000):  # pad path, exact-fit path
+        m = _pair_mask_pooled(py, px, valid, h, w, chunk_elems=chunk)
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(one))
+    # reference: dense scatter
+    ref = np.zeros((h, w), bool)
+    ref[np.asarray(py)[np.asarray(valid)], np.asarray(px)[np.asarray(valid)]] = True
+    np.testing.assert_array_equal(np.asarray(one), ref)
+
+
 def test_lidar_config_validate_for_grid():
     """Conservative-mode exactness check (ADVICE r2): sample spacing must
     beat the grid resolution."""
