@@ -178,9 +178,68 @@ def occupied_cell_table(occ, pad_multiple: int = 1024):
     return jnp.asarray(np.stack([px, py], axis=1))
 
 
+def waypoint_cell_table(cells, grid: GridMap, path, radius_m: float,
+                        pad_multiple: int = 512):
+    """Static per-waypoint candidate-cell pruning for :func:`scan_fleet`'s
+    "cells" backend: for each waypoint, the subset of the global occupied
+    boundary-cell table (``cells`` from :func:`occupied_cell_table`) within
+    ``radius_m`` of the waypoint, host-side numpy at setup.  Returns
+    (n_wp, K, 2) int32 pixel coords, dummy-padded with (-10**6, -10**6).
+
+    Exactness: a scan from any pose within ``radius_m - cfg.range`` of its
+    waypoint sees only cells inside ``radius_m`` of the waypoint, so the
+    pruned sweep equals the full-table sweep (pure geometry, no
+    approximation).  Use ``radius_m = cfg.range + slack`` with ``slack`` >=
+    the max pose-to-waypoint distance — :func:`waypoint_slack` computes a
+    safe bound from the path's static borders.  The win: the per-step pair
+    sweep is O(B x K x n_beams) instead of O(B x M x n_beams); on maps
+    large relative to the lidar range (e.g. Real_Track) K << M.
+    """
+    import numpy as np
+
+    cells_np = np.asarray(cells)
+    real = cells_np[:, 0] > -(10**5)
+    px = cells_np[real, 0]
+    py = cells_np[real, 1]
+    ccx, ccy = (np.asarray(a) for a in m2w(grid, jnp.asarray(px),
+                                           jnp.asarray(py)))
+    wx = np.asarray(path.x)
+    wy = np.asarray(path.y)
+    r2 = float(radius_m) ** 2
+    masks = [(ccx - a) ** 2 + (ccy - b) ** 2 < r2 for a, b in zip(wx, wy)]
+    kmax = max(int(m.sum()) for m in masks)
+    K = max(((kmax + pad_multiple - 1) // pad_multiple) * pad_multiple,
+            pad_multiple)
+    out = np.full((len(wx), K, 2), -(10**6), np.int32)
+    for n, m in enumerate(masks):
+        k = int(m.sum())
+        out[n, :k, 0] = px[m]
+        out[n, :k, 1] = py[m]
+    return jnp.asarray(out)
+
+
+def waypoint_slack(path) -> float:
+    """Safe pose-to-waypoint distance bound for :func:`waypoint_cell_table`:
+    any on-track pose localized to waypoint ``n`` lies within the drivable
+    border of some nearby waypoint, so (max waypoint-to-border distance) +
+    (2 max waypoint spacing) bounds it with margin for one step of motion
+    between localizations."""
+    import numpy as np
+
+    wx = np.asarray(path.x)[:, None]
+    wy = np.asarray(path.y)[:, None]
+    b = np.concatenate([np.asarray(path.border_ub),
+                        np.asarray(path.border_lb)], axis=1).reshape(
+                            wx.shape[0], -1, 2)
+    d = np.hypot(b[..., 0] - wx, b[..., 1] - wy).max()
+    spacing = np.asarray(path.seg_dist).max()
+    return float(d + 2.0 * spacing)
+
+
 def scan_fleet(grid: GridMap, x, y, psi, cfg: LidarConfig,
                cells: jnp.ndarray | None = None, backend: str = "auto",
-               chunk: int = 2048) -> LidarScan:
+               chunk: int = 2048, wp_id: jnp.ndarray | None = None
+               ) -> LidarScan:
     """Batched scans for a fleet of poses (x, y, psi each (B,)).
 
     backends:
@@ -194,11 +253,15 @@ def scan_fleet(grid: GridMap, x, y, psi, cfg: LidarConfig,
         triple with the same ray-square-intersection reduction as
         ``scan(conservative=True)`` — dense VPU math, zero gathers.
         Semantics are therefore the reference's EXACT corner-span scan.
+        ``cells`` may instead be a per-waypoint pruned table
+        (:func:`waypoint_cell_table`, shape (n_wp, K, 2)); then ``wp_id``
+        (B,) selects each lane's candidate row — same results, K << M
+        pair tests on large maps.
       * ``auto`` — ``cells`` on TPU when a cell table is given, else
         ``march``.
 
     Tie-breaking between equidistant hit cells is deterministic (smaller
-    pixel-x, then chunk order) but may differ from ``scan(conservative)``'s
+    pixel-y, then pixel-x) but may differ from ``scan(conservative)``'s
     sample-order argmin on exact ties; measured ranges are identical.
     """
     if backend == "auto":
@@ -227,20 +290,31 @@ def scan_fleet(grid: GridMap, x, y, psi, cfg: LidarConfig,
     uy = jnp.sin(wang)
     support = (jnp.abs(ux) + jnp.abs(uy)) * 0.5 * res  # (B, nbp)
 
-    ccx, ccy = m2w(grid, cells[:, 0], cells[:, 1])  # (M,) world cell centers
-    M = cells.shape[0]
+    if cells.ndim == 3:  # per-waypoint pruned candidates
+        if wp_id is None:
+            raise ValueError("per-waypoint cell table needs wp_id")
+        cells_b = jnp.take(cells, wp_id, axis=0)  # (B, K, 2) row gather
+    else:
+        cells_b = cells[None]  # (1, M, 2) broadcast over lanes
+    M = cells_b.shape[1]
     chunk = min(chunk, M)
-    while M % chunk:  # cell table is padded to a multiple of 1024
+    while M % chunk:  # cell tables are padded to static multiples
         chunk //= 2
     n_ch = M // chunk
 
     BIG = jnp.float32(1e9)
+    H, W = grid.occ.shape
+    # packed win-cell id py*W + px: exact in f32 for grids < 2^24 cells
+    # (cuts one full (B, C, nbp) select+reduce chain vs separate px/py mins)
+    assert H * W < (1 << 24), "pid packing needs H*W < 2^24"
 
     def body(carry, cell_chunk):
-        acc_d, acc_px, acc_py = carry  # (B, nbp) each
-        gx, gy, gpx, gpy = cell_chunk  # (chunk,) world centers + pixel coords
-        dx = gx[None, :] - cx[:, None]  # (B, C)
-        dy = gy[None, :] - cy[:, None]
+        acc_d, acc_pid = carry  # (B, nbp) each
+        gpx, gpy = cell_chunk  # (Bc, C) pixel coords, Bc in {1, B}
+        gx, gy = m2w(grid, gpx, gpy)  # world cell centers
+        pid = (gpy * W + gpx).astype(jnp.float32)  # (Bc, C)
+        dx = gx - cx[:, None]  # (B, C)
+        dy = gy - cy[:, None]
         d = jnp.sqrt(dx * dx + dy * dy)
         in_range = (d < cfg.range) & (d > 0.0)
         # (B, C, nbp) pair tests — the corner-span reduction
@@ -250,31 +324,25 @@ def scan_fleet(grid: GridMap, x, y, psi, cfg: LidarConfig,
         hit = (along > 0.0) & (perp <= support[:, None, :]) & in_range[:, :, None]
         dt = jnp.where(hit, d[:, :, None], BIG)  # (B, C, nbp)
         c_d = dt.min(axis=1)  # (B, nbp)
-        # recover the winning cell's pixel coords: min over tied minima
+        # winning cell: min packed id over tied minima
         is_min = (dt <= c_d[:, None, :]) & (c_d[:, None, :] < BIG)
-        c_px = jnp.where(is_min, gpx[None, :, None].astype(jnp.float32),
-                         BIG).min(axis=1)
-        c_py = jnp.where(is_min & (gpx[None, :, None].astype(jnp.float32)
-                                   == c_px[:, None, :]),
-                         gpy[None, :, None].astype(jnp.float32),
-                         BIG).min(axis=1)
+        c_pid = jnp.where(is_min, pid[:, :, None], BIG).min(axis=1)
         better = c_d < acc_d
         return (jnp.where(better, c_d, acc_d),
-                jnp.where(better, c_px, acc_px),
-                jnp.where(better, c_py, acc_py)), None
+                jnp.where(better, c_pid, acc_pid)), None
 
-    init = (jnp.full((B, nbp), BIG), jnp.full((B, nbp), BIG),
-            jnp.full((B, nbp), BIG))
-    chunks = (ccx.reshape(n_ch, chunk), ccy.reshape(n_ch, chunk),
-              cells[:, 0].reshape(n_ch, chunk),
-              cells[:, 1].reshape(n_ch, chunk))
-    (dmin, ppx, ppy), _ = jax.lax.scan(body, init, chunks)
+    init = (jnp.full((B, nbp), BIG), jnp.full((B, nbp), BIG))
+    nc = cells_b.shape[0]
+    chunks = (jnp.moveaxis(cells_b[..., 0].reshape(nc, n_ch, chunk), 1, 0),
+              jnp.moveaxis(cells_b[..., 1].reshape(nc, n_ch, chunk), 1, 0))
+    (dmin, pid), _ = jax.lax.scan(body, init, chunks)
 
     dmin = dmin[:, :nb]
     hit = dmin < cfg.range
-    ppx = jnp.where(hit, ppx[:, :nb], 0.0)  # avoid BIG->int32 overflow
-    ppy = jnp.where(hit, ppy[:, :nb], 0.0)
-    hx, hy = m2w(grid, ppx.astype(jnp.int32), ppy.astype(jnp.int32))
+    pid_i = jnp.where(hit, pid[:, :nb], 0.0).astype(jnp.int32)
+    ppx = pid_i % W
+    ppy = pid_i // W
+    hx, hy = m2w(grid, ppx, ppy)
     hx = jnp.where(hit, hx, cx[:, None] + cfg.range * ux[:, :nb])
     hy = jnp.where(hit, hy, cy[:, None] + cfg.range * uy[:, :nb])
     ranges = jnp.where(hit, dmin, cfg.range)

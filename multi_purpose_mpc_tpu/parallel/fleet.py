@@ -110,6 +110,7 @@ def simulate_lidar_fleet_sharded(mesh: Mesh, true_grid: GridMap,
     from jax.sharding import NamedSharding
 
     from multi_purpose_mpc_tpu.simulation import (_simulate_lidar_fleet,
+                                                  resolve_cell_table,
                                                   resolve_lidar_backends)
 
     if table is None:
@@ -122,12 +123,7 @@ def simulate_lidar_fleet_sharded(mesh: Mesh, true_grid: GridMap,
     scan_backend, writeback_backend = resolve_lidar_backends(
         shared_grid, clear_free, scan_backend, writeback_backend,
         multi_device=True)
-    if scan_backend == "cells" and cells is None:
-        from multi_purpose_mpc_tpu.ops.lidar import occupied_cell_table
-
-        cells = occupied_cell_table(true_grid.occ)
-    if scan_backend != "cells":
-        cells = None
+    cells = resolve_cell_table(true_grid, path, lidar, cells, scan_backend)
 
     B = state0.x.shape[0]
     occ0 = known_grid.occ

@@ -243,13 +243,41 @@ def resolve_lidar_backends(shared_grid: bool, clear_free: bool,
     return scan_backend, writeback_backend
 
 
+def resolve_cell_table(true_grid: GridMap, path: PathData, lidar,
+                       cells, scan_backend: str, prune: bool = True):
+    """Build (or upgrade) the "cells" scan backend's static cell table —
+    shared by :func:`simulate_lidar_fleet` and the sharded wrapper.
+
+    Given no table, builds the global boundary-cell table; with ``prune``
+    (default), upgrades a global (M, 2) table to the per-waypoint pruned
+    (n_wp, K, 2) form (:func:`~..ops.lidar.waypoint_cell_table`) whenever
+    the pruning actually pays (K < 3/4 M) — exact for on-track poses (the
+    radius covers the drivable border plus a localization-lag margin,
+    :func:`~..ops.lidar.waypoint_slack`)."""
+    if scan_backend != "cells":
+        return None
+    from multi_purpose_mpc_tpu.ops.lidar import (occupied_cell_table,
+                                                 waypoint_cell_table,
+                                                 waypoint_slack)
+
+    if cells is None:
+        cells = occupied_cell_table(true_grid.occ)
+    if prune and cells.ndim == 2:
+        wpc = waypoint_cell_table(cells, true_grid, path,
+                                  lidar.range + waypoint_slack(path))
+        if wpc.shape[1] < 0.75 * cells.shape[0]:
+            cells = wpc
+    return cells
+
+
 def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
                          path: PathData, cfg: MPCConfig, model: ModelConfig,
                          sim: SimConfig, lidar, state0: CarState,
                          clear_free: bool = False,
                          shared_grid: bool = False, table=None,
                          cells=None, scan_backend: str = "auto",
-                         writeback_backend: str = "auto"):
+                         writeback_backend: str = "auto",
+                         prune_cells: bool = True):
     """Fleet-scale LiDAR-in-the-loop rollout (BASELINE.json config 4 at
     batch scale): every lane scans the true world each step, writes hits
     into its working map, and runs MPC corridor extraction against that
@@ -290,12 +318,8 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
         table = build_scanline_table(tgrid, path, cfg.n_scan_samples)
     scan_backend, writeback_backend = resolve_lidar_backends(
         shared_grid, clear_free, scan_backend, writeback_backend)
-    if scan_backend == "cells" and cells is None:
-        from multi_purpose_mpc_tpu.ops.lidar import occupied_cell_table
-
-        cells = occupied_cell_table(true_grid.occ)
-    if scan_backend != "cells":
-        cells = None
+    cells = resolve_cell_table(true_grid, path, lidar, cells, scan_backend,
+                               prune=prune_cells)
     return _simulate_lidar_fleet(true_grid, known_grid, path, cfg, model,
                                  sim, lidar, state0, table, cells,
                                  clear_free=clear_free,
@@ -342,7 +366,8 @@ def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
     def step_fn(carry, _):
         state, occ = carry
         scans = scan_fleet(true_grid, state.x, state.y, state.psi, lidar,
-                           cells=cells, backend=scan_backend)
+                           cells=cells, backend=scan_backend,
+                           wp_id=state.wp_id)
         if shared_grid:
             kgrid = known_grid.replace(occ=occ)
             if writeback_backend == "dense":
@@ -434,7 +459,8 @@ def _simulate_lidar_fleet_fused(true_grid: GridMap, known_grid: GridMap,
         located, idx = _locate_horizon(state, path, cfg)
         pxh, pyh, inbh, cxh, cyh, row0h = horizon_tables(table, idx)
         scans = scan_fleet(true_grid, state.x, state.y, state.psi, lidar,
-                           cells=cells, backend=scan_backend)
+                           cells=cells, backend=scan_backend,
+                           wp_id=state.wp_id)
         hpx, hpy = w2m(known_grid, scans.hit_xy[..., 0],
                        scans.hit_xy[..., 1])
         hpx = jnp.clip(hpx, 0, W - 1)

@@ -77,6 +77,43 @@ def test_scan_fleet_cells_matches_conservative(sim_track, poses, lidar):
     assert frac_exact > 0.95, frac_exact
 
 
+def test_scan_fleet_pruned_table_matches_global(sim_track, lidar):
+    """The per-waypoint pruned candidate table (waypoint_cell_table) is pure
+    geometry: for poses within the slack radius of their waypoint, the
+    pruned sweep returns BITWISE the full-table sweep."""
+    from multi_purpose_mpc_tpu.ops.grid import lookup_world
+    from multi_purpose_mpc_tpu.ops.lidar import (waypoint_cell_table,
+                                                 waypoint_slack)
+
+    path = sim_track["path"]
+    grid = sim_track["grid"]
+    cells = occupied_cell_table(grid.occ)
+    slack = waypoint_slack(path)
+    wpc = waypoint_cell_table(cells, grid, path, lidar.range + slack)
+    assert wpc.shape[0] == path.n_wp and wpc.shape[2] == 2
+    assert wpc.shape[1] < cells.shape[0]  # it actually prunes
+
+    rng = np.random.default_rng(9)
+    xs, ys, ps, wid = [], [], [], []
+    while len(xs) < 10:
+        i = int(rng.integers(0, path.n_wp))
+        x = float(np.asarray(path.x)[i] + rng.normal(0, 0.03))
+        y = float(np.asarray(path.y)[i] + rng.normal(0, 0.03))
+        if float(lookup_world(grid, x, y)) > 0.5:
+            xs.append(x)
+            ys.append(y)
+            ps.append(float(rng.uniform(-np.pi, np.pi)))
+            wid.append(i)
+    x, y, psi = (jnp.asarray(v, jnp.float32) for v in (xs, ys, ps))
+    wp_id = jnp.asarray(wid, jnp.int32)
+
+    full = scan_fleet(grid, x, y, psi, lidar, cells=cells, backend="cells")
+    pruned = scan_fleet(grid, x, y, psi, lidar, cells=wpc, backend="cells",
+                        wp_id=wp_id)
+    for fa, fb in zip(full, pruned):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_fleet_writeback_dense_equals_scatter(sim_track, poses, lidar):
     grid = sim_track["grid"]
     x, y, psi = poses
