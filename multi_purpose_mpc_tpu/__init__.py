@@ -39,6 +39,7 @@ from multi_purpose_mpc_tpu.config import (
 from multi_purpose_mpc_tpu.ops.grid import GridMap, w2m, m2w, add_obstacles, add_boundary
 from multi_purpose_mpc_tpu.ops.path import PathData, build_reference_path
 from multi_purpose_mpc_tpu.models.bicycle import CarState, init_car_state
+from multi_purpose_mpc_tpu.mpc import WeightSet, weights_from_config
 from multi_purpose_mpc_tpu.api import (
     Map,
     Obstacle,
@@ -69,6 +70,8 @@ __all__ = [
     "build_reference_path",
     "CarState",
     "init_car_state",
+    "WeightSet",
+    "weights_from_config",
     "Map",
     "Obstacle",
     "ReferencePath",

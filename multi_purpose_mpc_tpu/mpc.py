@@ -48,6 +48,35 @@ _INF = jnp.inf
 _EPS = 1e-12
 
 
+class WeightSet(NamedTuple):
+    """Diagonal MPC cost weights as runtime data.
+
+    The reference's whole "multi-purpose" pitch is that path tracking,
+    time-optimal driving, and obstacle avoidance are *weight choices* on one
+    controller (README.md:17-19, :48).  There the weights are Python
+    constants baked into the script (simulation.py:100-103); here they can
+    also be per-lane arrays, so a single batched TPU program runs an entire
+    tuning grid — every lane a differently-weighted controller on the same
+    track (see :func:`~multi_purpose_mpc_tpu.simulation.simulate_fleet`'s
+    ``weights`` argument).
+
+    Leaves: ``Q``/``QN`` (3,), ``R`` (2,) float arrays; add a leading fleet
+    axis for a sweep.  ``None`` anywhere means "use the static
+    :class:`~multi_purpose_mpc_tpu.config.MPCConfig` weights".
+    """
+
+    Q: jnp.ndarray  # (..., 3) running state cost diagonal
+    R: jnp.ndarray  # (..., 2) input cost diagonal
+    QN: jnp.ndarray  # (..., 3) terminal state cost diagonal
+
+
+def weights_from_config(cfg: MPCConfig) -> WeightSet:
+    """The config's static weights as a :class:`WeightSet` (no fleet axis)."""
+    return WeightSet(Q=jnp.asarray(cfg.Q, jnp.float32),
+                     R=jnp.asarray(cfg.R, jnp.float32),
+                     QN=jnp.asarray(cfg.QN, jnp.float32))
+
+
 class ControlOutput(NamedTuple):
     state: CarState  # updated controller-side state (wp_id, e_y, u_seq, flags)
     v: jnp.ndarray  # () speed command
@@ -60,11 +89,15 @@ class ControlOutput(NamedTuple):
 
 
 def assemble_ltv_qp(path: PathData, cfg: MPCConfig, model: ModelConfig,
-                    wp_id, e_y, e_psi, kappa_pred, corridor: Corridor) -> LTVQP:
+                    wp_id, e_y, e_psi, kappa_pred, corridor: Corridor,
+                    weights: WeightSet | None = None) -> LTVQP:
     """Build the horizon QP from gathered path data + corridor bounds.
 
     Mirrors ``MPC._init_problem`` (MPC.py:61-155) with the SURVEY.md §3.2
     structure; all quantities are (N, ...) arrays instead of scipy.sparse.
+
+    ``weights`` overrides the config's static Q/R/QN diagonals with runtime
+    arrays (single lane here; vmap for a per-lane tuning sweep).
     """
     N = cfg.N
     f, A, B, v_ref, kappa_ref, delta_s, _ = horizon_linearize(path, wp_id, N)
@@ -76,9 +109,11 @@ def assemble_ltv_qp(path: PathData, cfg: MPCConfig, model: ModelConfig,
     beq = jnp.concatenate([-x0[None, :], uq], axis=0)  # (N+1, 3)
 
     # cost: diagonal Q for stages 0..N-1, QN terminal, R on inputs
-    Qd = jnp.asarray(cfg.Q, jnp.float32)
-    QNd = jnp.asarray(cfg.QN, jnp.float32)
-    Rd = jnp.asarray(cfg.R, jnp.float32)
+    if weights is None:
+        weights = weights_from_config(cfg)
+    Qd = weights.Q.astype(jnp.float32)
+    QNd = weights.QN.astype(jnp.float32)
+    Rd = weights.R.astype(jnp.float32)
     P_x = jnp.concatenate([jnp.tile(Qd, (N, 1)), QNd[None, :]], axis=0)
     P_u = jnp.tile(Rd, (N, 1))
 
@@ -142,18 +177,20 @@ def mpc_corridor(wp_id, path: PathData, grid: GridMap, cfg: MPCConfig,
 def mpc_pre_solve(state: CarState, path: PathData, grid: GridMap,
                   cfg: MPCConfig, model: ModelConfig,
                   segments: SegmentCandidates | None = None,
-                  located=None, corridor: Corridor | None = None):
+                  located=None, corridor: Corridor | None = None,
+                  weights: WeightSet | None = None):
     """Per-lane work before the QP solve: localization, frame transform,
     corridor update, assembly (MPC.py:172-180).  vmappable.  ``located`` /
     ``corridor`` can be supplied by a batched caller (e.g. the Pallas
-    corridor kernel)."""
+    corridor kernel); ``weights`` overrides the config cost diagonals."""
     N = cfg.N
     wp_id, e_y, e_psi = located if located is not None else mpc_locate(state, path)
     if corridor is None:
         corridor = mpc_corridor(wp_id, path, grid, cfg, model, segments)
 
     kappa_pred = kappa_predictions(state.u_seq, N)
-    qp = assemble_ltv_qp(path, cfg, model, wp_id, e_y, e_psi, kappa_pred, corridor)
+    qp = assemble_ltv_qp(path, cfg, model, wp_id, e_y, e_psi, kappa_pred,
+                         corridor, weights=weights)
     return qp, (wp_id, e_y, e_psi, corridor)
 
 
@@ -215,7 +252,8 @@ def mpc_step(state: CarState, path: PathData, grid: GridMap,
 def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
                      cfg: MPCConfig, model: ModelConfig,
                      segments: SegmentCandidates | None = None,
-                     table: jnp.ndarray | None = None) -> ControlOutput:
+                     table: jnp.ndarray | None = None,
+                     weights: WeightSet | None = None) -> ControlOutput:
     """Fleet control step with the solver running over the whole batch at
     once — required for the fused Pallas ADMM kernel
     (:mod:`~multi_purpose_mpc_tpu.ops.admm_pallas`), which keeps a tile of
@@ -226,6 +264,10 @@ def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
     horizon table (:mod:`~multi_purpose_mpc_tpu.ops.horizon_table`): one
     contiguous take replaces the per-step (B, N) row gathers that profiling
     showed dominating the step at batch 4096.
+
+    ``weights``: per-lane :class:`WeightSet` (leading batch axis) for
+    controller-tuning sweeps — heterogeneously weighted lanes in one
+    program.
     """
     backend = cfg.solver_backend
     if backend == "auto":
@@ -262,7 +304,7 @@ def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
     return mpc_step_batched_with_corridor(state, path, cfg, model, located,
                                           corridor, backend=backend,
                                           grid=grid, segments=segments,
-                                          horizon=horizon)
+                                          horizon=horizon, weights=weights)
 
 
 def mpc_step_batched_with_corridor(state: CarState, path: PathData,
@@ -272,6 +314,7 @@ def mpc_step_batched_with_corridor(state: CarState, path: PathData,
                                    grid: GridMap = None,
                                    segments: SegmentCandidates | None = None,
                                    horizon=None,
+                                   weights: WeightSet | None = None,
                                    ) -> ControlOutput:
     """Fleet control step given an already-computed corridor — the entry
     point for callers that extract corridors themselves (e.g. per-lane
@@ -279,13 +322,28 @@ def mpc_step_batched_with_corridor(state: CarState, path: PathData,
 
     ``horizon``: optional pre-gathered ``(v_ref, kappa_ref, delta_s)``
     (each (B, N)) from the windowed horizon table, skipping the three
-    (B, N) row gathers here."""
+    (B, N) row gathers here.  ``weights``: per-lane cost diagonals (tuning
+    sweep); the fused kernel bakes the config weights, so sweeps run the
+    structured Pallas kernel on per-lane-assembled QPs instead — same
+    solver-tier guarantees, one extra HBM round-trip for the QP arrays."""
     if backend is None:
         backend = cfg.solver_backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    if backend == "pallas":
+    if backend == "pallas" and weights is not None:
+        # per-lane weights: assemble per-lane QPs (XLA) and run the
+        # structured VMEM kernel — solve_mpc_qp_fused's in-kernel assembly
+        # reads cfg's static weights and cannot express a sweep
+        from multi_purpose_mpc_tpu.ops.admm_pallas import solve_ltv_qp_pallas
+
+        pre = jax.vmap(lambda s, loc, cor, w: mpc_pre_solve(
+            s, path, grid, cfg, model, segments, located=loc, corridor=cor,
+            weights=w))
+        qp, aux = pre(state, located, corridor, weights)
+        sol = solve_ltv_qp_pallas(qp, state.solver, cfg.solver,
+                                  lanes=cfg.solver.kernel_lanes)
+    elif backend == "pallas":
         # fully fused path: raw horizon gathers straight into the kernel —
         # assembly, packing, and the ADMM loop all happen in VMEM
         from multi_purpose_mpc_tpu.ops.admm_pallas import solve_mpc_qp_fused
@@ -308,9 +366,16 @@ def mpc_step_batched_with_corridor(state: CarState, path: PathData,
                                  lanes=cfg.solver.kernel_lanes)
         aux = (wp_id, e_y, e_psi, corridor)
     else:
-        pre = jax.vmap(lambda s, loc, cor: mpc_pre_solve(
-            s, path, grid, cfg, model, segments, located=loc, corridor=cor))
-        qp, aux = pre(state, located, corridor)
+        if weights is None:
+            pre = jax.vmap(lambda s, loc, cor: mpc_pre_solve(
+                s, path, grid, cfg, model, segments, located=loc,
+                corridor=cor))
+            qp, aux = pre(state, located, corridor)
+        else:
+            pre = jax.vmap(lambda s, loc, cor, w: mpc_pre_solve(
+                s, path, grid, cfg, model, segments, located=loc,
+                corridor=cor, weights=w))
+            qp, aux = pre(state, located, corridor, weights)
         sol = jax.vmap(lambda q, w: solve_ltv_qp(q, cfg.solver, warm=w))(
             qp, state.solver)
 

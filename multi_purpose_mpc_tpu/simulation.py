@@ -74,12 +74,12 @@ def _sim_step(state: CarState, path: PathData, grid: GridMap,
 
 def _sim_step_batched(state: CarState, path: PathData, grid: GridMap,
                       cfg: MPCConfig, model: ModelConfig, segments=None,
-                      table=None):
+                      table=None, weights=None):
     """Fleet step: batched solver (Pallas kernel on TPU), vmapped rest."""
     from multi_purpose_mpc_tpu.mpc import mpc_step_batched
 
     out = mpc_step_batched(state, path, grid, cfg, model, segments,
-                           table=table)
+                           table=table, weights=weights)
     return jax.vmap(lambda o: _post_control(o, path, model))(out)
 
 
@@ -117,16 +117,26 @@ def simulate_closed_loop(grid: GridMap, path: PathData, cfg: MPCConfig,
 
 def simulate_fleet(grid: GridMap, path: PathData, cfg: MPCConfig,
                    model: ModelConfig, sim: SimConfig, state0: CarState,
-                   table=None) -> SimResult:
+                   table=None, weights=None) -> SimResult:
     """Fleet closed-loop rollout: ``state0`` carries a leading batch axis;
     one scan over time, vmapped step over the fleet (SURVEY.md §2.3).
 
     ``sim.static_grid=True`` precomputes free segments once per rollout;
     ``False`` re-extracts every step (the semantics a changing grid needs)
     through the scanline-table backends — same machinery as the
-    LiDAR-in-the-loop fleet, shared-grid flavor."""
+    LiDAR-in-the-loop fleet, shared-grid flavor.
+
+    ``weights``: optional per-lane :class:`~multi_purpose_mpc_tpu.mpc.WeightSet`
+    (leaves with leading batch axis) — a controller-tuning sweep: every lane
+    runs a differently-weighted MPC on the same track in one program (the
+    reference's "multi-purpose via weight tuning", README.md:17-19, batched).
+    """
     if sim.static_grid:
-        return _simulate_fleet_static(grid, path, cfg, model, sim, state0)
+        return _simulate_fleet_static(grid, path, cfg, model, sim, state0,
+                                      weights)
+    if weights is not None:
+        raise NotImplementedError("weight sweeps currently require "
+                                  "static_grid=True")
     if table is None:
         from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
 
@@ -137,7 +147,7 @@ def simulate_fleet(grid: GridMap, path: PathData, cfg: MPCConfig,
 @functools.partial(jax.jit, static_argnames=("cfg", "model", "sim"))
 def _simulate_fleet_static(grid: GridMap, path: PathData, cfg: MPCConfig,
                            model: ModelConfig, sim: SimConfig,
-                           state0: CarState) -> SimResult:
+                           state0: CarState, weights=None) -> SimResult:
     segs = _maybe_segments(grid, path, cfg, model, sim)
 
     # windowed horizon table (ops/horizon_table.py): computed once per
@@ -151,7 +161,8 @@ def _simulate_fleet_static(grid: GridMap, path: PathData, cfg: MPCConfig,
         table = build_horizon_table(path, segs, cfg)
 
     def step_fn(state, _):
-        return _sim_step_batched(state, path, grid, cfg, model, segs, table)
+        return _sim_step_batched(state, path, grid, cfg, model, segs, table,
+                                 weights)
 
     final, log = jax.lax.scan(step_fn, state0, None, length=sim.max_steps)
     # logs come out (T, B, ...); keep that layout (time-major)
