@@ -86,7 +86,10 @@ def main():
 
     K = len(combos)
     lap_c = lap.reshape(args.repeats, K).mean(0)
-    ey_c = np.array([e_y[:, i::K][act[:, i::K]].mean() for i in range(K)])
+    # a config whose lanes all fail instantly has an empty active mask —
+    # score it inf so it sorts last instead of NaN-corrupting the lexsort
+    ey_c = np.array([e_y[:, i::K][act[:, i::K]].mean()
+                     if act[:, i::K].any() else np.inf for i in range(K)])
     fail_c = failed.reshape(args.repeats, K).sum(0)
 
     print(f"{'Q_ey':>6} {'R_v':>6} {'t_w':>6} | {'lap steps':>9} "

@@ -84,23 +84,34 @@ class ControlOutput(NamedTuple):
     status: jnp.ndarray  # () solver status for this step
     ok: jnp.ndarray  # () bool — control accepted (vs replayed)
     r_prim: jnp.ndarray  # () QP primal residual (observability)
+    floor: jnp.ndarray  # () certified violation floor (0 = QP feasible)
     corridor: Corridor  # horizon corridor (viz / logging)
     X_pred: jnp.ndarray  # (N+1, 3) predicted spatial states (viz / logging)
 
 
 def assemble_ltv_qp(path: PathData, cfg: MPCConfig, model: ModelConfig,
                     wp_id, e_y, e_psi, kappa_pred, corridor: Corridor,
-                    weights: WeightSet | None = None) -> LTVQP:
+                    weights: WeightSet | None = None,
+                    horizon=None) -> LTVQP:
     """Build the horizon QP from gathered path data + corridor bounds.
 
     Mirrors ``MPC._init_problem`` (MPC.py:61-155) with the SURVEY.md §3.2
     structure; all quantities are (N, ...) arrays instead of scipy.sparse.
 
     ``weights`` overrides the config's static Q/R/QN diagonals with runtime
-    arrays (single lane here; vmap for a per-lane tuning sweep).
+    arrays (single lane here; vmap for a per-lane tuning sweep); ``None``
+    leaves fall back to the config per leaf.  ``horizon``: pre-gathered
+    ``(v_ref, kappa_ref, delta_s)`` (each (N,)) from the windowed horizon
+    table — skips the per-lane row gathers here.
     """
     N = cfg.N
-    f, A, B, v_ref, kappa_ref, delta_s, _ = horizon_linearize(path, wp_id, N)
+    if horizon is None:
+        f, A, B, v_ref, kappa_ref, delta_s, _ = horizon_linearize(path, wp_id, N)
+    else:
+        from multi_purpose_mpc_tpu.models.bicycle import linearize
+
+        v_ref, kappa_ref, delta_s = horizon
+        f, A, B = linearize(v_ref, kappa_ref, delta_s)
 
     ur = jnp.stack([v_ref, kappa_ref], -1)  # (N, 2)
     # equality rhs: row 0 pins x0; row n+1 carries uq_n = B_n ur_n - f_n
@@ -109,11 +120,14 @@ def assemble_ltv_qp(path: PathData, cfg: MPCConfig, model: ModelConfig,
     beq = jnp.concatenate([-x0[None, :], uq], axis=0)  # (N+1, 3)
 
     # cost: diagonal Q for stages 0..N-1, QN terminal, R on inputs
+    # (per-leaf fallback: a partially-None WeightSet keeps config defaults
+    # for the None leaves)
+    base = weights_from_config(cfg)
     if weights is None:
-        weights = weights_from_config(cfg)
-    Qd = weights.Q.astype(jnp.float32)
-    QNd = weights.QN.astype(jnp.float32)
-    Rd = weights.R.astype(jnp.float32)
+        weights = base
+    Qd = (base.Q if weights.Q is None else weights.Q).astype(jnp.float32)
+    QNd = (base.QN if weights.QN is None else weights.QN).astype(jnp.float32)
+    Rd = (base.R if weights.R is None else weights.R).astype(jnp.float32)
     P_x = jnp.concatenate([jnp.tile(Qd, (N, 1)), QNd[None, :]], axis=0)
     P_u = jnp.tile(Rd, (N, 1))
 
@@ -142,6 +156,55 @@ def assemble_ltv_qp(path: PathData, cfg: MPCConfig, model: ModelConfig,
 
     return LTVQP(A=A, B=B, beq=beq, q_x=q_x, q_u=q_u, P_x=P_x, P_u=P_u,
                  lx=lx, ux=ux, lu=lu, uu=uu)
+
+
+def violation_floor(e_y, e_psi, kappa_ref, delta_s, lb, ub,
+                    kappa_max: float) -> jnp.ndarray:
+    """Certified lower bound on the corridor violation ANY dynamics-
+    consistent horizon trajectory must incur, by interval reachability.
+
+    The QP pins x0 to the measured state (MPC.py:119-120) and e_y evolves as
+    e_y(n+1) = e_y(n) + ds_n * e_psi(n) with e_psi driven by the bounded
+    curvature input — so when the car sits outside the safety-margin-shrunk
+    corridor (obstacle pinch-points), the QP is *structurally infeasible*:
+    no control can satisfy the early e_y rows (stage 1 is fully determined
+    by x0).  Propagating the unconstrained-input reachable interval of
+    (e_y, e_psi) through the LTV dynamics gives a sound per-stage floor
+    dist(I(n), [lb_n, ub_n]) <= violation of every feasible-dynamics
+    trajectory; the max over stages lower-bounds any solution's primal
+    residual.
+
+    Diagnosed on the batch-4096 bench (round 4): ~5% of active steps
+    rejected, zero collapsed corridors, residuals plateauing under a 10x
+    iteration budget — i.e. genuinely infeasible QPs, not solver failures.
+    OSQP hits max-iter on these and returns the least-violation iterate as
+    a NUMERIC solution, which the reference then uses (MPC.py:185-216
+    replays only on non-numeric x, i.e. a found infeasibility certificate);
+    accepting ``r_prim <= feas_tol + floor`` reproduces that behavior while
+    staying exactly as strict as before on feasible QPs (floor == 0).
+
+    Returns the scalar floor (vmap for a fleet).
+    """
+    kmax = jnp.asarray(kappa_max, jnp.float32)
+
+    def step(carry, inp):
+        y_lo, y_hi, p_lo, p_hi = carry
+        k_ref, ds, lb_n, ub_n = inp
+        # e_y(n+1) = e_y(n) + ds * e_psi(n)
+        ny_lo = y_lo + ds * p_lo
+        ny_hi = y_hi + ds * p_hi
+        # e_psi(n+1) = -k_ref^2 ds e_y(n) + e_psi(n) + ds (u_k - k_ref)
+        c = -(k_ref * k_ref) * ds
+        t_lo = jnp.minimum(c * y_lo, c * y_hi)
+        t_hi = jnp.maximum(c * y_lo, c * y_hi)
+        np_lo = t_lo + p_lo + ds * (-kmax - k_ref)
+        np_hi = t_hi + p_hi + ds * (kmax - k_ref)
+        viol = jnp.maximum(0.0, jnp.maximum(lb_n - ny_hi, ny_lo - ub_n))
+        return (ny_lo, ny_hi, np_lo, np_hi), viol
+
+    init = (e_y, e_y, e_psi, e_psi)
+    _, viols = jax.lax.scan(step, init, (kappa_ref, delta_s, lb, ub))
+    return jnp.max(viols)
 
 
 def kappa_predictions(u_seq: jnp.ndarray, N: int) -> jnp.ndarray:
@@ -178,20 +241,44 @@ def mpc_pre_solve(state: CarState, path: PathData, grid: GridMap,
                   cfg: MPCConfig, model: ModelConfig,
                   segments: SegmentCandidates | None = None,
                   located=None, corridor: Corridor | None = None,
-                  weights: WeightSet | None = None):
+                  weights: WeightSet | None = None, horizon=None):
     """Per-lane work before the QP solve: localization, frame transform,
     corridor update, assembly (MPC.py:172-180).  vmappable.  ``located`` /
-    ``corridor`` can be supplied by a batched caller (e.g. the Pallas
-    corridor kernel); ``weights`` overrides the config cost diagonals."""
+    ``corridor`` / ``horizon`` can be supplied by a batched caller (e.g. the
+    Pallas corridor kernel / windowed horizon table); ``weights`` overrides
+    the config cost diagonals."""
     N = cfg.N
     wp_id, e_y, e_psi = located if located is not None else mpc_locate(state, path)
     if corridor is None:
         corridor = mpc_corridor(wp_id, path, grid, cfg, model, segments)
 
+    if horizon is None:
+        offs = jnp.arange(N)
+        idx = gather_waypoint_index(path, wp_id, offs)
+        horizon = (path.v_ref[idx], path.kappa[idx], path.seg_dist[idx])
     kappa_pred = kappa_predictions(state.u_seq, N)
     qp = assemble_ltv_qp(path, cfg, model, wp_id, e_y, e_psi, kappa_pred,
-                         corridor, weights=weights)
-    return qp, (wp_id, e_y, e_psi, corridor)
+                         corridor, weights=weights, horizon=horizon)
+    floor = corridor_violation_floor(e_y, e_psi, horizon, corridor, cfg,
+                                     model)
+    return qp, (wp_id, e_y, e_psi, corridor, floor)
+
+
+def corridor_violation_floor(e_y, e_psi, horizon, corridor: Corridor,
+                             cfg: MPCConfig, model: ModelConfig):
+    """Gated :func:`violation_floor`: the certified-violation relaxation
+    applies only while the corridor has positive width everywhere — a
+    COLLAPSED corridor (ub == lb == 0, the reference's blocked-path signal,
+    reference_path.py:611-619) keeps the strict test so those solves replay
+    exactly as the reference does.  Always computed (it also prioritizes
+    the escalation pass); acceptance applies it only under
+    ``cfg.least_violation_accept``."""
+    _, kappa_ref, delta_s = horizon
+    floor = violation_floor(e_y, e_psi, kappa_ref, delta_s,
+                            corridor.lb, corridor.ub,
+                            cfg.kappa_max(model.length))
+    width_ok = jnp.all(corridor.ub - corridor.lb > 0.0)
+    return jnp.where(width_ok, floor, 0.0)
 
 
 def mpc_post_solve(state: CarState, sol: LTVSolution, aux,
@@ -199,13 +286,18 @@ def mpc_post_solve(state: CarState, sol: LTVSolution, aux,
     """Per-lane work after the QP solve: acceptance, control extraction,
     infeasibility replay, state update (MPC.py:183-222).  vmappable."""
     N = cfg.N
-    wp_id, e_y, e_psi, corridor = aux
+    wp_id, e_y, e_psi, corridor, floor = aux
 
-    # Acceptance mirrors the reference (MPC.py:185-216): any finite solution
-    # is used — OSQP max-iter returns are numeric and the reference takes
-    # them; only infeasible/diverged solves (non-numeric x there, large
-    # primal residual / non-finite here) trigger the replay fallback.
-    ok = (sol.status != admm.DIVERGED) & (sol.r_prim <= cfg.feas_tol)
+    # Acceptance mirrors the reference (MPC.py:185-216): finite solutions
+    # within the feasibility tolerance are used; infeasible solves (OSQP
+    # certificate / residual above tolerance here) trigger the replay
+    # fallback.  ``cfg.least_violation_accept`` optionally relaxes the test
+    # by the CERTIFIED violation floor of structurally infeasible QPs (car
+    # outside the margin-shrunk corridor — see the config flag's docstring);
+    # on feasible QPs floor == 0 and the test is identical either way.
+    floor_eff = floor if cfg.least_violation_accept else jnp.zeros_like(floor)
+    ok = ((sol.status != admm.DIVERGED)
+          & (sol.r_prim <= cfg.feas_tol + floor_eff))
 
     # --- control extraction / infeasibility replay (MPC.py:185-220) ---
     u_seq_new = jnp.where(ok, sol.U.reshape(-1), state.u_seq)
@@ -225,8 +317,68 @@ def mpc_post_solve(state: CarState, sol: LTVSolution, aux,
                               u_seq=u_seq_new, solver=sol.carry,
                               infeasibility_count=infeas, failed=failed)
     return ControlOutput(state=new_state, v=v, delta=delta, status=sol.status,
-                         ok=ok, r_prim=sol.r_prim, corridor=corridor,
-                         X_pred=sol.X)
+                         ok=ok, r_prim=sol.r_prim, floor=floor,
+                         corridor=corridor, X_pred=sol.X)
+
+
+def escalate_rejects(sol: LTVSolution, floor: jnp.ndarray, feas_tol: float,
+                     k: int, resolve) -> LTVSolution:
+    """Second-chance solve for would-be-rejected lanes (VERDICT r3 #1).
+
+    Gathers the ``k`` lanes with the largest acceptance margin
+    ``r_prim - (feas_tol + floor)`` (``floor`` = the certified violation
+    lower bound, so lanes already at their infeasible QP's least-violation
+    optimum are NOT selected — escalating them cannot help), re-solves them
+    via ``resolve(idx, warm) -> LTVSolution`` with an escalated budget warm-
+    started from the main solve's final iterate, and merges back wherever
+    the residual improved.  The whole pass rides one ``lax.cond``: steps
+    with no reject anywhere skip it entirely, so the common case costs one
+    comparison; at batch 4096 with k = 128 a triggered pass adds ~1/32 of a
+    solve.
+
+    Diagnosed round 4: ~23% of the headline bench's rejections were
+    feasible QPs the production budget (30 x 6 + 10) left just above
+    feas_tol (median residual 6.8e-3); continuing 6 more adapted-rho rounds
+    from the warm iterate converges essentially all of them.
+
+    The escalated SOLUTION is merged; the escalated warm-start CARRY is
+    NOT.  Measured (round 4, real-TPU Sim_Track lap): carrying the
+    near-converged escalated iterate forward upgrades the lane into a
+    permanent high-accuracy regime — every later solve then converges to
+    ~1e-6 instead of the production budget's ~1e-3, and on the reference's
+    cost-flat weights (R_kappa = 0) fully-converged solves pick bang-bang
+    members of the optimal kappa band, which collapse the
+    vmax = sqrt(ay_max/|kappa_pred|) cap: mean lap speed fell 0.92 -> 0.65
+    and the lap stopped completing in 250 steps.  The production iteration
+    budget is the same implicit kappa regularization OSQP's eps ~1e-3
+    provides the reference (see SolverConfig docstring); keeping the
+    pre-escalation carry preserves that accuracy class across steps while
+    still accepting the recovered control (the reference's replay fallback
+    likewise executes controls the warm state never saw, MPC.py:208-216).
+    """
+    B = sol.r_prim.shape[0]
+    k = min(k, B)
+    if k <= 0:
+        return sol
+
+    margin = sol.r_prim - (feas_tol + floor)
+
+    def run(sol):
+        key = jnp.where(margin > 0, margin, -jnp.inf)
+        _, idx = jax.lax.top_k(key, k)
+        sel = jnp.take(margin, idx) > 0
+        warm = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), sol.carry)
+        sub = resolve(idx, warm)
+        better = sel & (sub.r_prim < jnp.take(sol.r_prim, idx))
+
+        def merge(a, b):
+            cur = jnp.take(a, idx, axis=0)
+            btk = better.reshape(better.shape + (1,) * (b.ndim - 1))
+            return a.at[idx].set(jnp.where(btk, b, cur))
+
+        return jax.tree.map(merge, sol, sub)
+
+    return jax.lax.cond((margin > 0).any(), run, lambda s: s, sol)
 
 
 def mpc_step(state: CarState, path: PathData, grid: GridMap,
@@ -334,15 +486,33 @@ def mpc_step_batched_with_corridor(state: CarState, path: PathData,
     if backend == "pallas" and weights is not None:
         # per-lane weights: assemble per-lane QPs (XLA) and run the
         # structured VMEM kernel — solve_mpc_qp_fused's in-kernel assembly
-        # reads cfg's static weights and cannot express a sweep
+        # reads cfg's static weights and cannot express a sweep.  The
+        # pre-gathered horizon block (when available) feeds the assembly so
+        # sweeps keep the horizon-table optimization.
         from multi_purpose_mpc_tpu.ops.admm_pallas import solve_ltv_qp_pallas
 
-        pre = jax.vmap(lambda s, loc, cor, w: mpc_pre_solve(
-            s, path, grid, cfg, model, segments, located=loc, corridor=cor,
-            weights=w))
-        qp, aux = pre(state, located, corridor, weights)
+        if horizon is not None:
+            pre = jax.vmap(lambda s, loc, cor, w, hz: mpc_pre_solve(
+                s, path, grid, cfg, model, segments, located=loc,
+                corridor=cor, weights=w, horizon=hz))
+            qp, aux = pre(state, located, corridor, weights, horizon)
+        else:
+            pre = jax.vmap(lambda s, loc, cor, w: mpc_pre_solve(
+                s, path, grid, cfg, model, segments, located=loc,
+                corridor=cor, weights=w))
+            qp, aux = pre(state, located, corridor, weights)
         sol = solve_ltv_qp_pallas(qp, state.solver, cfg.solver,
                                   lanes=cfg.solver.kernel_lanes)
+        if cfg.solver.escalate_lanes > 0:
+            esc = _escalated_cfg(cfg.solver)
+
+            def resolve(idx, warm, qp=qp):
+                qk = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), qp)
+                return solve_ltv_qp_pallas(qk, warm, esc,
+                                           lanes=cfg.solver.kernel_lanes)
+
+            sol = escalate_rejects(sol, aux[4], cfg.feas_tol,
+                                   cfg.solver.escalate_lanes, resolve)
     elif backend == "pallas":
         # fully fused path: raw horizon gathers straight into the kernel —
         # assembly, packing, and the ADMM loop all happen in VMEM
@@ -364,7 +534,23 @@ def mpc_step_batched_with_corridor(state: CarState, path: PathData,
                                  corridor.lb, corridor.ub, x0, kp,
                                  state.solver, cfg.solver, cfg, model,
                                  lanes=cfg.solver.kernel_lanes)
-        aux = (wp_id, e_y, e_psi, corridor)
+        floor = jax.vmap(lambda ey, ep, kr, ds, cor: corridor_violation_floor(
+            ey, ep, (None, kr, ds), cor, cfg, model))(
+            e_y, e_psi, kappa_ref, delta_s, corridor)
+        aux = (wp_id, e_y, e_psi, corridor, floor)
+        if cfg.solver.escalate_lanes > 0:
+            esc = _escalated_cfg(cfg.solver)
+
+            def resolve(idx, warm):
+                g = lambda a: jnp.take(a, idx, axis=0)
+                return solve_mpc_qp_fused(g(v_ref), g(kappa_ref), g(delta_s),
+                                          g(corridor.lb), g(corridor.ub),
+                                          g(x0), g(kp), warm, esc, cfg,
+                                          model,
+                                          lanes=cfg.solver.kernel_lanes)
+
+            sol = escalate_rejects(sol, floor, cfg.feas_tol,
+                                   cfg.solver.escalate_lanes, resolve)
     else:
         if weights is None:
             pre = jax.vmap(lambda s, loc, cor: mpc_pre_solve(
@@ -378,9 +564,43 @@ def mpc_step_batched_with_corridor(state: CarState, path: PathData,
             qp, aux = pre(state, located, corridor, weights)
         sol = jax.vmap(lambda q, w: solve_ltv_qp(q, cfg.solver, warm=w))(
             qp, state.solver)
+        if cfg.solver.escalate_lanes > 0:
+            esc = _escalated_cfg(cfg.solver)
+
+            def resolve(idx, warm, qp=qp):
+                qk = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), qp)
+                return jax.vmap(lambda q, w: solve_ltv_qp(q, esc, warm=w))(
+                    qk, warm)
+
+            sol = escalate_rejects(sol, aux[4], cfg.feas_tol,
+                                   cfg.solver.escalate_lanes, resolve)
 
     post = jax.vmap(lambda s, so, a: mpc_post_solve(s, so, a, cfg, model))
     return post(state, sol, aux)
+
+
+def _escalated_cfg(solver_cfg):
+    """Escalation-budget solver config: continue `escalate_rho_updates`
+    more adapted-rho rounds from the main solve's warm iterate (carry_rho
+    resumes the adapted step size — safe here: same step's QP).
+
+    polish_iters is DROPPED, deliberately: the goal is to bring a
+    just-above-tolerance residual (~1e-2) into the production accuracy
+    class (~1e-3, what OSQP's default eps gives the reference), NOT to
+    fully converge the QP.  With the 100x-rho polish the escalated solve
+    lands at ~1e-6, and on the reference's cost-flat kappa weights
+    (R = diag(0.5, 0)) fully-converged solves pick bound-saturating
+    members of the optimal kappa band — measured on the real-TPU Sim_Track
+    lap: mean speed 0.92 -> 0.65 (the |kappa_pred| term collapses the
+    dynamic speed cap) and the lap stops completing.  The production
+    iteration budget is the same implicit regularization OSQP's eps ~1e-3
+    provides; escalation must stay inside that class."""
+    import dataclasses
+
+    return dataclasses.replace(solver_cfg,
+                               rho_updates=solver_cfg.escalate_rho_updates,
+                               carry_rho=True, escalate_lanes=0,
+                               polish_iters=0)
 
 
 def predict_world_positions(path: PathData, wp_id, X_pred: jnp.ndarray):

@@ -149,3 +149,160 @@ def pad_rows(occ: jnp.ndarray, window_rows: int) -> jnp.ndarray:
         return occ
     pad = [(0, 0)] * (occ.ndim - 2) + [(0, Hp - H), (0, 0)]
     return jnp.pad(occ, pad, constant_values=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed variant: occupancy packed 32 rows/int32 word in HBM
+# ---------------------------------------------------------------------------
+#
+# The (B, Hp, W) f32 stack is the LiDAR fleet's HBM-dominant tensor (1 MB per
+# Sim_Track lane) and the fused kernel is bandwidth-bound on exactly it
+# (ROUND_NOTES r3: 2.14 ms/step = 41% of the lidar step at B=256).  The grid
+# is strictly binary (1=free / 0=occupied), so the HBM-resident carry packs
+# bit j of word (r, c) = cell (32 r + j, c) — 32x fewer bytes per step and
+# 32x more lanes per chip.  Inside the kernel the lane's grid is UNPACKED
+# into VMEM scratch once (VPU shifts), the write-back + window extraction
+# run unchanged on the f32 copy (bitwise the unpacked kernel's math), and
+# the updated grid repacks on the way out.  Row packing (not column) keeps
+# the 128-wide lane dimension intact for Mosaic.
+
+def _make_fused_kernel_packed(N: int, K: int, Hp: int, W: int, R: int,
+                              nbp: int):
+    WR = Hp // 32  # word rows
+
+    def kernel(row0_ref, pk_ref, hpx_ref, hpy_ref, hit_ref, px_ref, py_ref,
+               pk_out_ref, vals_ref, occ_scr):
+        b = pl.program_id(0)
+
+        # --- unpack: word row r -> f32 rows 32r..32r+31 of the scratch ---
+        sh = jax.lax.broadcasted_iota(jnp.int32, (32, W), 0)
+        for r in range(WR):
+            word = pk_ref[0, r, :]  # (W,) int32
+            bits = jax.lax.shift_right_logical(
+                jnp.broadcast_to(word[None, :], (32, W)), sh) & 1
+            occ_scr[32 * r:32 * r + 32, :] = bits.astype(jnp.float32)
+
+        # --- write-back: occ := where(any beam hit the cell, 0, occ) ---
+        # (same one-hot construction as the unpacked kernel)
+        hpx = hpx_ref[0, 0]
+        hpy = hpy_ref[0, 0]
+        hit = hit_ref[0, 0]
+        ih = jax.lax.broadcasted_iota(jnp.int32, (Hp, nbp), 0)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (nbp, W), 1)
+        rowOH = ((hpy[None, :] == ih) & (hit[None, :] > 0)
+                 ).astype(jnp.bfloat16)
+        colOH = (hpx[:, None] == iw).astype(jnp.bfloat16)
+        counts = jax.lax.dot_general(
+            rowOH, colOH, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        occ_scr[:, :] = jnp.where(counts > 0.5, 0.0, occ_scr[:, :])
+
+        # --- repack + store (sum of distinct powers of two == bitwise or;
+        # int32 add wraps, so bit 31 packs exactly) ---
+        for r in range(WR):
+            blk = occ_scr[32 * r:32 * r + 32, :]
+            words = jnp.sum(
+                jax.lax.shift_left((blk > 0.5).astype(jnp.int32), sh),
+                axis=0, dtype=jnp.int32)
+            pk_out_ref[0, r, :] = words
+
+        # --- extraction: N scanline windows against the updated scratch ---
+        vals_ref[0] = scanline_window_rows(
+            lambda r0a: occ_scr[pl.dslice(r0a, R), :],
+            px_ref, py_ref, lambda n: row0_ref[b, n], N, K, W, R)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("window_rows", "interpret"))
+def writeback_extract_packed(occ_pk: jnp.ndarray, hpx: jnp.ndarray,
+                             hpy: jnp.ndarray, hit: jnp.ndarray,
+                             px: jnp.ndarray, py: jnp.ndarray,
+                             row0: jnp.ndarray, window_rows: int,
+                             interpret: bool = False):
+    """Fused hit write-back + scanline extraction over BIT-PACKED per-lane
+    grids.
+
+    ``occ_pk`` (B, Hp/32, W) int32 row-packed grids (:func:`pack_rows`);
+    other arguments and the returned ``vals`` exactly as
+    :func:`writeback_extract_pallas`.  Returns ``(new_occ_pk, vals)`` with
+    the grid still packed — the rollout carry never unpacks.
+    """
+    B, N, K = px.shape
+    WR, W = occ_pk.shape[-2:]
+    Hp = WR * 32
+    R = window_rows
+    if Hp < R:
+        raise ValueError(f"packed rows {Hp} must be >= window_rows {R}")
+
+    nb = hpx.shape[1]
+    nbp = max(((nb + 127) // 128) * 128, 128)
+    if nbp != nb:
+        pad = [(0, 0), (0, nbp - nb)]
+        hpx = jnp.pad(hpx, pad)
+        hpy = jnp.pad(hpy, pad)
+        hit = jnp.pad(hit, pad)
+    hpx, hpy, hit = (a[:, None, :] for a in (hpx, hpy, hit))
+
+    kernel = _make_fused_kernel_packed(N, K, Hp, W, R, nbp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, WR, W), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nbp), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nbp), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nbp), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, K), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, K), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, WR, W), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, K), lambda b, r0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((Hp, W), jnp.float32)],
+    )
+    new_pk, vals = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, WR, W), jnp.int32),
+                   jax.ShapeDtypeStruct((B, N, K), jnp.float32)],
+        interpret=interpret,
+    )(row0, occ_pk, hpx, hpy, hit.astype(jnp.int32), px, py)
+    return new_pk, vals
+
+
+def pack_rows(occ: jnp.ndarray, window_rows: int) -> jnp.ndarray:
+    """(..., H, W) binary f32 grid -> (..., ceil/32, W) int32 row-packed,
+    rows padded (free=1.0) to a multiple of 32 that is >= ``window_rows``
+    and 8-aligned (trivially, 32 | Hp)."""
+    H = occ.shape[-2]
+    Hp = ((max(H, window_rows) + 31) // 32) * 32
+    if Hp != H:
+        pad = [(0, 0)] * (occ.ndim - 2) + [(0, Hp - H), (0, 0)]
+        occ = jnp.pad(occ, pad, constant_values=1.0)
+    bits = (occ > 0.5).astype(jnp.int32)
+    shape = occ.shape[:-2] + (Hp // 32, 32, occ.shape[-1])
+    bits = bits.reshape(shape)
+    sh = jnp.broadcast_to(jnp.arange(32, dtype=jnp.int32)[:, None],
+                          bits.shape)
+    return jnp.sum(jax.lax.shift_left(bits, sh), axis=-2, dtype=jnp.int32)
+
+
+def unpack_rows(occ_pk: jnp.ndarray, H: int) -> jnp.ndarray:
+    """(..., WR, W) int32 row-packed -> (..., H, W) f32 binary grid."""
+    WR, W = occ_pk.shape[-2:]
+    words = jnp.broadcast_to(occ_pk[..., :, None, :],
+                             occ_pk.shape[:-2] + (WR, 32, W))
+    sh = jnp.broadcast_to(jnp.arange(32, dtype=jnp.int32)[:, None],
+                          words.shape)
+    bits = jax.lax.shift_right_logical(words, sh) & 1
+    out = bits.reshape(occ_pk.shape[:-2] + (WR * 32, W)).astype(jnp.float32)
+    return out[..., :H, :]

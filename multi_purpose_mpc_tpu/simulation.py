@@ -42,6 +42,9 @@ class SimLog(NamedTuple):
     status: jnp.ndarray  # raw solver status (SOLVED/MAX_ITER/DIVERGED)
     ok: jnp.ndarray  # control accepted (reference-semantics acceptance)
     r_prim: jnp.ndarray  # QP primal residual per step
+    floor: jnp.ndarray  # certified violation floor (> 0: QP structurally
+    # infeasible from the measured state — mpc.violation_floor; a rejected
+    # step with floor == 0 is a true solver failure)
     active: jnp.ndarray
 
 
@@ -62,7 +65,7 @@ def _post_control(out, path: PathData, model: ModelConfig):
     st = st.replace(done=done)
     log = SimLog(x=st.x, y=st.y, psi=st.psi, v=v, delta=delta, s=st.s,
                  e_y=st.e_y, status=out.status, ok=out.ok, r_prim=out.r_prim,
-                 active=active)
+                 floor=out.floor, active=active)
     return st, log
 
 
@@ -131,17 +134,33 @@ def simulate_fleet(grid: GridMap, path: PathData, cfg: MPCConfig,
     runs a differently-weighted MPC on the same track in one program (the
     reference's "multi-purpose via weight tuning", README.md:17-19, batched).
     """
+    _validate_weights(weights, state0)
     if sim.static_grid:
         return _simulate_fleet_static(grid, path, cfg, model, sim, state0,
                                       weights)
-    if weights is not None:
-        raise NotImplementedError("weight sweeps currently require "
-                                  "static_grid=True")
     if table is None:
         from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
 
         table = build_scanline_table(grid, path, cfg.n_scan_samples)
-    return _simulate_fleet_dynamic(grid, path, cfg, model, sim, state0, table)
+    return _simulate_fleet_dynamic(grid, path, cfg, model, sim, state0, table,
+                                   weights)
+
+
+def _validate_weights(weights, state0: CarState) -> None:
+    """Fail fast on a mis-batched WeightSet: every non-None leaf needs a
+    leading fleet axis matching the state batch (a wrong shape otherwise
+    surfaces as an opaque vmap/scan trace error deep inside the rollout)."""
+    if weights is None:
+        return
+    B = state0.x.shape[0]
+    for name, leaf, width in (("Q", weights.Q, 3), ("R", weights.R, 2),
+                              ("QN", weights.QN, 3)):
+        if leaf is None:
+            continue
+        if leaf.ndim != 2 or leaf.shape[0] != B or leaf.shape[1] != width:
+            raise ValueError(
+                f"WeightSet.{name} must have shape ({B}, {width}) to match "
+                f"the fleet batch; got {tuple(leaf.shape)}")
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "model", "sim"))
@@ -172,10 +191,12 @@ def _simulate_fleet_static(grid: GridMap, path: PathData, cfg: MPCConfig,
 @functools.partial(jax.jit, static_argnames=("cfg", "model", "sim"))
 def _simulate_fleet_dynamic(grid: GridMap, path: PathData, cfg: MPCConfig,
                             model: ModelConfig, sim: SimConfig,
-                            state0: CarState, table) -> SimResult:
+                            state0: CarState, table,
+                            weights=None) -> SimResult:
     def step_fn(state, _):
         st, log = _sim_step_batched_gridded(state, path, grid, grid.occ,
-                                            cfg, model, table)
+                                            cfg, model, table,
+                                            weights=weights)
         return st, log
 
     final, log = jax.lax.scan(step_fn, state0, None, length=sim.max_steps)
@@ -241,12 +262,16 @@ def resolve_lidar_backends(shared_grid: bool, clear_free: bool,
             writeback_backend = ("dense" if is_tpu or multi_device
                                  else "scatter")
         elif is_tpu:
-            writeback_backend = "fused" if not clear_free else "dense"
+            # "packed" = the bitpacked fused kernel (32 rows/int32 word in
+            # HBM): same outputs as "fused", 32x less map-stack traffic and
+            # capacity — the default per-lane TPU path (VERDICT r3 #2)
+            writeback_backend = "packed" if not clear_free else "dense"
         else:
             writeback_backend = "scatter"
-    if writeback_backend == "fused" and (shared_grid or clear_free):
-        raise ValueError("fused writeback supports per-lane grids with "
-                         "clear_free=False; use 'dense' or 'scatter'")
+    if writeback_backend in ("fused", "packed") and (shared_grid or clear_free):
+        raise ValueError(f"{writeback_backend} writeback supports per-lane "
+                         "grids with clear_free=False; use 'dense' or "
+                         "'scatter'")
     if multi_device and shared_grid and writeback_backend != "dense":
         raise ValueError("multi-device shared-grid mapping pools observation "
                          "masks across devices; writeback_backend must be "
@@ -288,7 +313,7 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
                          shared_grid: bool = False, table=None,
                          cells=None, scan_backend: str = "auto",
                          writeback_backend: str = "auto",
-                         prune_cells: bool = True):
+                         prune_cells: bool = True, weights=None):
     """Fleet-scale LiDAR-in-the-loop rollout (BASELINE.json config 4 at
     batch scale): every lane scans the true world each step, writes hits
     into its working map, and runs MPC corridor extraction against that
@@ -316,8 +341,13 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
     (``cfg.extract_backend``) over a precomputed :class:`ScanlineTable`
     (``table``; built here — outside jit — when not supplied).
 
+    ``weights``: optional per-lane :class:`~multi_purpose_mpc_tpu.mpc.WeightSet`
+    — a controller-tuning sweep over a mapping fleet (each lane a
+    differently-weighted MPC driving on its own sensed map).
+
     Returns ``(SimResult, final_known_occ)``.
     """
+    _validate_weights(weights, state0)
     if table is None:
         from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
 
@@ -336,7 +366,8 @@ def simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
                                  clear_free=clear_free,
                                  shared_grid=shared_grid,
                                  scan_backend=scan_backend,
-                                 writeback_backend=writeback_backend)
+                                 writeback_backend=writeback_backend,
+                                 weights=weights)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -349,7 +380,7 @@ def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
                           shared_grid: bool = False,
                           scan_backend: str = "march",
                           writeback_backend: str = "scatter",
-                          axis_name: str | None = None):
+                          axis_name: str | None = None, weights=None):
     from multi_purpose_mpc_tpu.ops.lidar import (apply_observation_masks,
                                                  fleet_observation_masks,
                                                  fleet_writeback, scan_fleet,
@@ -358,21 +389,24 @@ def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
     if axis_name is not None and shared_grid and writeback_backend != "dense":
         raise ValueError("multi-device shared-grid pooling needs the 'dense' "
                          "write-back (observation masks)")
-    if writeback_backend == "fused" and (shared_grid or clear_free):
-        # the fused kernel writes hits only — guard at the dispatch layer so
+    if writeback_backend in ("fused", "packed") and (shared_grid or clear_free):
+        # the fused kernels write hits only — guard at the dispatch layer so
         # EVERY caller (incl. the sharded wrapper) rejects the combination
-        raise ValueError("fused writeback supports per-lane grids with "
-                         "clear_free=False; use 'dense' or 'scatter'")
+        raise ValueError(f"{writeback_backend} writeback supports per-lane "
+                         "grids with clear_free=False; use 'dense' or "
+                         "'scatter'")
 
     B = state0.x.shape[0]
     occ0 = known_grid.occ
     if not shared_grid and occ0.ndim == 2:
         occ0 = jnp.broadcast_to(occ0, (B,) + occ0.shape)
 
-    if writeback_backend == "fused":
+    if writeback_backend in ("fused", "packed"):
         return _simulate_lidar_fleet_fused(true_grid, known_grid, path, cfg,
                                            model, sim, lidar, state0, occ0,
-                                           table, cells, scan_backend)
+                                           table, cells, scan_backend,
+                                           weights=weights,
+                                           packed=writeback_backend == "packed")
 
     def step_fn(carry, _):
         state, occ = carry
@@ -420,7 +454,8 @@ def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
                 val = jnp.where(scans.hit.reshape(-1), 0.0, 1.0)
                 new_occ = new_occ.at[hpy, hpx].min(val)
             st, log = _sim_step_batched_gridded(state, path, known_grid,
-                                                new_occ, cfg, model, table)
+                                                new_occ, cfg, model, table,
+                                                weights=weights)
             return (st, new_occ), log
         # per-lane grids
         if writeback_backend == "dense":
@@ -435,7 +470,8 @@ def _simulate_lidar_fleet(true_grid: GridMap, known_grid: GridMap,
                 in_axes=(0, 0, 0, 0, 0))(occ, state.x, state.y, state.psi,
                                          scans)
         st, log = _sim_step_batched_gridded(state, path, known_grid, new_occ,
-                                            cfg, model, table)
+                                            cfg, model, table,
+                                            weights=weights)
         return (st, new_occ), log
 
     (final, occ), log = jax.lax.scan(step_fn, (state0, occ0), None,
@@ -447,22 +483,34 @@ def _simulate_lidar_fleet_fused(true_grid: GridMap, known_grid: GridMap,
                                 path: PathData, cfg: MPCConfig,
                                 model: ModelConfig, sim: SimConfig, lidar,
                                 state0: CarState, occ0: jnp.ndarray, table,
-                                cells, scan_backend: str):
+                                cells, scan_backend: str, weights=None,
+                                packed: bool = False):
     """Per-lane LiDAR fleet with the one-kernel map path: scan-hit write-back
     and scanline extraction run fused per lane with the grid VMEM-resident
     (:func:`~..ops.mapping_pallas.writeback_extract_pallas`) — bitwise the
     ``dense`` write-back + ``pallas`` extraction results at a fraction of the
-    HBM traffic.  The occupancy carry stays row-padded across the rollout."""
+    HBM traffic.  The occupancy carry stays row-padded across the rollout.
+
+    ``packed=True`` carries the grids BIT-PACKED (32 rows per int32 word,
+    :func:`~..ops.mapping_pallas.writeback_extract_packed`): identical
+    outputs, 32x less HBM traffic and capacity on the map stack — the
+    scale lever that takes per-lane mapping fleets past B=256."""
     from multi_purpose_mpc_tpu.mpc import mpc_step_batched_with_corridor
     from multi_purpose_mpc_tpu.ops.constraints import segments_from_samples
     from multi_purpose_mpc_tpu.ops.corridor_extract import horizon_tables
     from multi_purpose_mpc_tpu.ops.grid import w2m
     from multi_purpose_mpc_tpu.ops.lidar import scan_fleet
-    from multi_purpose_mpc_tpu.ops.mapping_pallas import (pad_rows,
-                                                          writeback_extract_pallas)
+    from multi_purpose_mpc_tpu.ops.mapping_pallas import (
+        pack_rows, pad_rows, unpack_rows, writeback_extract_packed,
+        writeback_extract_pallas)
 
     H, W = known_grid.occ.shape[-2:]
-    occ0 = pad_rows(occ0, table.window_rows)
+    if packed:
+        occ0 = pack_rows(occ0, table.window_rows)
+        kernel_fn = writeback_extract_packed
+    else:
+        occ0 = pad_rows(occ0, table.window_rows)
+        kernel_fn = writeback_extract_pallas
     sm = model.safety_margin
 
     def step_fn(carry, _):
@@ -476,22 +524,23 @@ def _simulate_lidar_fleet_fused(true_grid: GridMap, known_grid: GridMap,
                        scans.hit_xy[..., 1])
         hpx = jnp.clip(hpx, 0, W - 1)
         hpy = jnp.clip(hpy, 0, H - 1)
-        new_occ, vals = writeback_extract_pallas(occ, hpx, hpy, scans.hit,
-                                                 pxh, pyh, row0h,
-                                                 table.window_rows)
+        new_occ, vals = kernel_fn(occ, hpx, hpy, scans.hit, pxh, pyh,
+                                  row0h, table.window_rows)
         vals = jnp.where(inbh, vals, 0.0)  # OOB samples read as occupied
         seg1 = lambda v, a, b: segments_from_samples(v, a, b, 2.0 * sm,
                                                      cfg.max_segments)
         segs = jax.vmap(jax.vmap(seg1))(vals, cxh, cyh)
         corridor = _select_corridor_batched(path, segs, idx, cfg, sm)
         out = mpc_step_batched_with_corridor(state, path, cfg, model,
-                                             located, corridor)
+                                             located, corridor,
+                                             weights=weights)
         st, log = jax.vmap(lambda o: _post_control(o, path, model))(out)
         return (st, new_occ), log
 
     (final, occ), log = jax.lax.scan(step_fn, (state0, occ0), None,
                                      length=sim.max_steps)
-    return SimResult(final_state=final, log=log), occ[:, :H]
+    occ = unpack_rows(occ, H) if packed else occ[:, :H]
+    return SimResult(final_state=final, log=log), occ
 
 
 def _locate_horizon(state: CarState, path: PathData, cfg: MPCConfig):
@@ -550,18 +599,84 @@ def _select_corridor_batched(path: PathData, segs, idx, cfg: MPCConfig, sm):
 
 def _sim_step_batched_gridded(state: CarState, path: PathData,
                               base_grid: GridMap, occ_b: jnp.ndarray,
-                              cfg: MPCConfig, model: ModelConfig, table):
+                              cfg: MPCConfig, model: ModelConfig, table,
+                              weights=None):
     """Fleet step where lanes drive on a per-step-updated occupancy grid —
     per-lane ``occ_b`` (B, H, W) or one shared (H, W) map — the dynamic-map
     variant of :func:`_sim_step_batched`.  The QP solve still runs the
-    batched backend (Pallas kernel on TPU)."""
+    batched backend (Pallas kernel on TPU).  ``weights``: per-lane
+    :class:`~multi_purpose_mpc_tpu.mpc.WeightSet` for tuning sweeps."""
     from multi_purpose_mpc_tpu.mpc import mpc_step_batched_with_corridor
 
     located, corridor = _dynamic_corridor_batched(state, path, occ_b, table,
                                                   cfg, model)
     out = mpc_step_batched_with_corridor(state, path, cfg, model, located,
-                                         corridor)
+                                         corridor, weights=weights)
     return jax.vmap(lambda o: _post_control(o, path, model))(out)
+
+
+def feasible_starts(grid: GridMap, path: PathData, cfg: MPCConfig,
+                    model: ModelConfig, batch: int, rng,
+                    e_y_scale: float = 0.03, margin: float = 2e-3,
+                    max_rounds: int = 8):
+    """Draw ``batch`` Monte-Carlo start states (wp_id0, e_y0) whose first QP
+    is CERTIFIED feasible.
+
+    A raw random (waypoint, e_y) spawn can be structurally infeasible from
+    step 0 — inside an obstacle's safety zone, or at a pinch-point whose
+    corridor moves laterally faster than the horizon dynamics can follow
+    (measured ~4% of uniform Sim_Track spawns).  Such a lane replays its
+    (zero) initial controls forever; the reference would exit(1) there
+    (MPC.py:218-220).  This helper clips each e_y into the start corridor
+    and then RESAMPLES any lane whose :func:`~..mpc.violation_floor` is
+    still positive, so fleet benchmarks/tests measure driving, not doomed
+    spawns.  Host-side setup; returns (wp_id0 (B,) int32, e_y0 (B,) f32).
+    """
+    import numpy as np
+
+    from multi_purpose_mpc_tpu.mpc import corridor_violation_floor, mpc_corridor
+    from multi_purpose_mpc_tpu.ops.constraints import extract_all_segments
+    from multi_purpose_mpc_tpu.ops.path import gather_waypoint_index
+
+    segs = extract_all_segments(grid, path, 2.0 * model.safety_margin,
+                                n_samples=cfg.n_scan_samples,
+                                max_segments=cfg.max_segments)
+
+    @jax.jit
+    def check(wp, ey):
+        def one(w, e):
+            cor = mpc_corridor(w, path, grid, cfg, model, segs)
+            lo = cor.lb[0] + margin
+            hi = cor.ub[0] - margin
+            e = jnp.clip(e, jnp.minimum(lo, hi), hi)
+            idx = gather_waypoint_index(path, w, jnp.arange(cfg.N))
+            horizon = (path.v_ref[idx], path.kappa[idx], path.seg_dist[idx])
+            fl = corridor_violation_floor(e, jnp.float32(0.0), horizon, cor,
+                                          cfg, model)
+            return e, fl
+
+        return jax.vmap(one)(wp, ey)
+
+    wp = rng.integers(0, path.n_wp, batch)
+    ey = rng.uniform(-e_y_scale, e_y_scale, batch)
+    for _ in range(max_rounds):
+        e_fix, fl = check(jnp.asarray(wp, jnp.int32),
+                          jnp.asarray(ey, jnp.float32))
+        bad = np.asarray(fl) > 0
+        ey = np.array(e_fix)
+        if not bad.any():
+            break
+        wp[bad] = rng.integers(0, path.n_wp, int(bad.sum()))
+        ey[bad] = rng.uniform(-e_y_scale, e_y_scale, int(bad.sum()))
+    else:
+        # pathological leftovers: the start waypoint (always feasible)
+        e_fix, fl = check(jnp.asarray(wp, jnp.int32),
+                          jnp.asarray(ey, jnp.float32))
+        bad = np.asarray(fl) > 0
+        ey = np.array(e_fix)
+        wp[bad] = 0
+        ey[bad] = 0.0
+    return jnp.asarray(wp, jnp.int32), jnp.asarray(ey, jnp.float32)
 
 
 def init_fleet(path: PathData, N: int, batch: int,

@@ -14,6 +14,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# XLA:CPU's LLVM passes recurse deeply on large fused scan bodies; with the
+# default 8 MiB main-thread stack a long pytest process can SIGSEGV inside
+# backend_compile_and_load (observed round 4 compiling simulate_fleet after
+# ~40 min of suite — the same compile passes in a fresh process).  The main
+# thread's stack grows up to RLIMIT_STACK on Linux, so raising the soft
+# limit at runtime gives the compiler headroom.
+import resource
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY:
+    _want = _hard if _hard != resource.RLIM_INFINITY else 512 * 1024 * 1024
+    resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+
 import jax
 
 # The environment's TPU plugin force-selects itself via a sitecustomize hook
@@ -24,6 +37,21 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    XLA:CPU keeps every JIT'd program loaded for the life of the process;
+    after ~120 tests the accumulated code volume deterministically
+    SIGSEGVs a later compile inside backend_compile_and_load (observed
+    round 4: the same simulate_fleet compile crashes at the same point in
+    full-suite order and passes in any shorter order or fresh process).
+    Dropping the caches between modules bounds the live-code volume; the
+    per-module recompiles cost far less than the suite they protect."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
