@@ -246,12 +246,25 @@ class ReferencePath:
         return ub, lb, cells
 
     def show(self, display_drivable_area: bool = True, ax=None):
-        """Render map + path + borders (reference_path.py:373-464)."""
+        """Render map + path + borders + dynamic corridor
+        (reference_path.py:373-464)."""
         import matplotlib.pyplot as plt
 
         ax = ax or plt.gca()
         viz.plot_map(ax, self.map.grid)
         viz.plot_path(ax, self.path_data, display_drivable_area)
+        # dynamic corridor (orange): per-waypoint border cells written by
+        # update_path_constraints, static borders where never updated — the
+        # reference draws these lines through every waypoint's
+        # dynamic_border_cells (reference_path.py:445-460, which initialize
+        # to the static cells at construction, reference_path.py:47-48)
+        if display_drivable_area and self._dynamic_border_cells is not None:
+            bu = np.asarray(self.path_data.border_ub).copy()
+            bl = np.asarray(self.path_data.border_lb).copy()
+            for idx, (u, l) in self._dynamic_border_cells.items():
+                bu[idx] = u
+                bl[idx] = l
+            viz.plot_corridor(ax, bu, bl)
         viz.plot_obstacles(ax, [(o.cx, o.cy, o.radius) for o in self.map.obstacles])
         return ax
 
