@@ -17,12 +17,20 @@ from tests.oracle.corridor import free_segments_oracle, select_corridor_oracle
 from tests.oracle.qp import solve_qp_f64, solve_qp_ip_f64
 
 
+def horizon_index(path, wp_id, k):
+    """Circular wrap or non-circular clamp — the framework's
+    gather_waypoint_index semantics (ops/path.py, SURVEY.md Q4; the
+    reference hard-exits past the end instead, reference_path.py:366-369)."""
+    n_wp = len(path["x"])
+    i = wp_id + k
+    return i % n_wp if path["circular"] else min(i, n_wp - 1)
+
+
 def assemble_dense_qp(path, cfg, model, wp_id, e_y, e_psi, kappa_pred, ub, lb):
     """Dense float64 QP in the reference variable order (SURVEY.md §3.2)."""
     N = cfg.N
-    n_wp = len(path["x"])
     nx, nu = 3, 2
-    idx = [(wp_id + k) % n_wp for k in range(N)]
+    idx = [horizon_index(path, wp_id, k) for k in range(N)]
 
     A_st = np.zeros((N, 3, 3))
     B_st = np.zeros((N, 3, 2))
@@ -92,7 +100,7 @@ def locate(path, s):
 
 def simulate_oracle(occ, origin, res, path, cfg, model, T, K=128, S=8,
                     qp_eps=1e-9, qp_max_iter=40000, progress=None,
-                    qp_solver="admm"):
+                    qp_solver="admm", s0=0.0):
     """Run T closed-loop steps; returns per-step logs as a dict of arrays.
 
     ``qp_solver``: "admm" (first-order float64, the default historical
@@ -100,16 +108,18 @@ def simulate_oracle(occ, origin, res, path, cfg, model, T, K=128, S=8,
     strictly convex configs where the ADMM iteration conditions badly, e.g.
     Q2 > 0; the two agree to ~1e-7 where both converge).
     ``qp_eps``/``qp_max_iter`` apply to the admm solver.
-    ``progress``: optional int — print a heartbeat every that-many steps."""
+    ``progress``: optional int — print a heartbeat every that-many steps.
+    ``s0``: starting arc length (the pose starts on the path there) — lets
+    seam tests begin near the end of a non-circular track."""
     N = cfg.N
     sm = model.safety_margin
     n_wp = len(path["x"])
 
-    wp0 = 0
+    s = float(s0)
+    wp0 = locate(path, s)
     x = path["x"][wp0]
     y = path["y"][wp0]
     psi = path["psi"][wp0]
-    s = 0.0
     u_seq = np.zeros((N, 2))
     ic = 0
     xw = yw = None  # warm-start carries across steps
@@ -132,7 +142,7 @@ def simulate_oracle(occ, origin, res, path, cfg, model, T, K=128, S=8,
         e_y = math.cos(wpsi) * (y - wy) - math.sin(wpsi) * (x - wx)
         e_psi = (psi - wpsi + math.pi) % (2 * math.pi) - math.pi
 
-        idx = [(wp_id + 1 + k) % n_wp for k in range(N)]
+        idx = [horizon_index(path, wp_id, 1 + k) for k in range(N)]
         seg_list = [free_segments_oracle(occ, origin, res,
                                          path["border_ub"][i], path["border_lb"][i],
                                          2 * sm, K, S) for i in idx]

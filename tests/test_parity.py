@@ -47,6 +47,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from multi_purpose_mpc_tpu.config import (SolverConfig,
                                           SpeedProfileConstraints,
                                           sim_track_preset)

@@ -8,6 +8,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from multi_purpose_mpc_tpu.config import SimConfig, real_track_preset
 from multi_purpose_mpc_tpu.ops.grid import add_boundary
 from multi_purpose_mpc_tpu.ops.path import build_reference_path
