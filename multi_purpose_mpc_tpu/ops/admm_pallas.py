@@ -295,7 +295,7 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
     # stages, so "auto" stays schur; CR remains the opt-in for very long
     # horizons where O(log N) depth can win.
     CR = cfg.stage_solver == "cr"
-    ROLLED = N > 32 and not CR
+    ROLLED = _use_rolled(N, cfg)
 
     def kernel(*refs):
         if build is None:
@@ -769,7 +769,48 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
     return kernel
 
 
-def _solver_scratch(N: int, lanes: int):
+def _use_rolled(N: int, cfg: SolverConfig) -> bool:
+    """Single source of truth for the stage-loop policy — the kernel body
+    and the scratch allocation MUST agree (a forced-rolled kernel over the
+    N <= 32 placeholder scratch fails Pallas lowering with a shape-mismatch
+    swap).  cfg.rolled_stage_loops: None = auto (rolled above N = 32),
+    True/False forces — the escape hatch that makes the sublane-packed
+    (S, 128) layout testable at N = 30 (the unrolled SSA path is what fails
+    Mosaic compilation at lanes >= 512; see _lane_shape)."""
+    if cfg.stage_solver == "cr":
+        return False
+    if cfg.rolled_stage_loops is None:
+        return N > 32
+    return bool(cfg.rolled_stage_loops)
+
+
+def _compiler_params(N: int, lanes: int, rolled: bool, n_raw_stage: int = 0):
+    """Explicit Mosaic VMEM budget for large lane tiles.
+
+    The v5e has 128 MiB of physical VMEM but Mosaic's DEFAULT budget is
+    ~16 MiB — which is exactly what made ``lanes >= 512`` tiles at N = 30
+    "fail to compile" (remote tpu_compile_helper exit 1, no message through
+    the tunnel): the kernel's blocks + scratch are stage-linear and cross
+    ~18 MiB there, while N <= 16 at 1024 lanes compiles and runs fine
+    (measured r4).  Passing the computed need lifts the cap; the default
+    16 MiB stays for small tiles so the pipeliner keeps its double-buffer
+    headroom."""
+    S, NWl, NXl = N + 1, NW, NX
+    per_lane = (
+        # inputs: either the packed QP (AB..uw) or n_raw_stage raw stage rows
+        (N * NXl * NWl + S * NXl + 4 * S * NWl if n_raw_stage == 0
+         else n_raw_stage)
+        + 4 * S * NWl + 1        # warm carry in
+        + 4 * S * NWl + 3        # outputs
+        + (N * NXl * NWl * 2 + S * NWl * (NWl + 3) if rolled else 6))
+    need = per_lane * 4 * lanes * 2  # x2: pipeliner double-buffering slack
+    if need <= 16 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(int(need), 110 * 1024 * 1024))
+
+
+def _solver_scratch(N: int, lanes: int, rolled: bool):
     """VMEM scratch for the rolled (N > 32) stage loops: stage data /
     factors / substitution buffers.  Total f32 VMEM: (N+1) x (25 + 15) x
     lanes x 4 B + 2N x 15 x lanes — linear in N (~7 MB at N=100, 128
@@ -778,7 +819,7 @@ def _solver_scratch(N: int, lanes: int):
     is minimal placeholders (the kernel never touches them)."""
     f32 = jnp.float32
     ls = _lane_shape(lanes)
-    if N <= 32:
+    if not rolled:
         return [
             pltpu.VMEM((1, 1, 1) + ls, f32),  # AB_s (unused)
             pltpu.VMEM((1, 1, 1) + ls, f32),  # C_s (unused)
@@ -902,7 +943,7 @@ def solve_ltv_qp_pallas(qp: LTVQP, warm: SolverCarry, cfg: SolverConfig,
             spec(1,),  # rp
             spec(1,),  # rd
         ],
-        scratch_shapes=_solver_scratch(N, lanes),
+        scratch_shapes=_solver_scratch(N, lanes, _use_rolled(N, cfg)),
     )
     f32 = jnp.float32
     lb = (Bp // lblk[-1], lblk[-1]) if len(lblk) == 2 else (Bp,)
@@ -916,11 +957,13 @@ def solve_ltv_qp_pallas(qp: LTVQP, warm: SolverCarry, cfg: SolverConfig,
         jax.ShapeDtypeStruct((1,) + lb, f32),
     ]
 
+    cp = _compiler_params(N, lanes, _use_rolled(N, cfg))
     W, Zw, Yeq, Yw, rho, rp, rd = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
+        **({"compiler_params": cp} if cp is not None else {}),
     )(*inputs)
 
     # unpack back to (B, stages, ...) and trim padding
@@ -1095,7 +1138,7 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
                   spec(N + 1, NW), spec(1,)],
         out_specs=[spec(N + 1, NW), spec(N + 1, NW), spec(N + 1, NX),
                    spec(N + 1, NW), spec(1,), spec(1,), spec(1,)],
-        scratch_shapes=_solver_scratch(N, lanes),
+        scratch_shapes=_solver_scratch(N, lanes, _use_rolled(N, cfg)),
     )
     f32 = jnp.float32
     lb = (Bp // lblk[-1], lblk[-1]) if len(lblk) == 2 else (Bp,)
@@ -1108,9 +1151,12 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
         jax.ShapeDtypeStruct((1,) + lb, f32),
         jax.ShapeDtypeStruct((1,) + lb, f32),
     ]
+    cp = _compiler_params(N, lanes, _use_rolled(N, cfg),
+                          n_raw_stage=6 * N + NX)
     W, Zw, Yeq, Yw, rho, rp, rd = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shapes,
         interpret=interpret,
+        **({"compiler_params": cp} if cp is not None else {}),
     )(*raw, W0, Zw0, Yeq0, Yw0, rho0)
 
     tb = lambda a: jnp.transpose(

@@ -235,6 +235,49 @@ def _solve(Sinv, C, b):
 # ADMM on the structured problem
 # ---------------------------------------------------------------------------
 
+
+def _pack_stages(X, U):
+    # (N+1, 5): stage n -> (x_n, u_n), u_N slot zero-padded
+    Upad = jnp.concatenate([U, jnp.zeros_like(U[..., :1, :])], axis=-2)
+    return jnp.concatenate([X, Upad], axis=-1)
+
+
+def _unpack_stages(W):
+    return W[..., :NX], W[..., :-1, NX:]
+
+
+def admm_iteration(qp: LTVQP, Sinv, C, rho_eq, rho_x, rho_u, sigma, alpha,
+                   state):
+    """One ADMM iteration on the factored stage system — THE iteration body
+    of both the XLA solver below and (algorithmically) the fused Pallas
+    kernels.  Module-level so tools/roofline.py can cost-analyze exactly the
+    production body (XLA's cost analysis does not multiply loop bodies by
+    their trip count, so per-iteration FLOPs must come from the body alone).
+    """
+    X, U, Zx, Zu, Yeq, Yx, Yu = state
+    # rhs = sigma z - q + A'(rho o z_c - y)
+    weq = rho_eq * qp.beq - Yeq
+    gx_eq, gu_eq = eq_applyT(qp, weq)
+    rx = sigma * X - qp.q_x + gx_eq + (rho_x * Zx - Yx)
+    ru = sigma * U - qp.q_u + gu_eq + (rho_u * Zu - Yu)
+    W = _solve(Sinv, C, _pack_stages(rx, ru))
+    Xt, Ut = _unpack_stages(W)
+
+    Req = eq_apply(qp, Xt, Ut)
+    Xn = alpha * Xt + (1 - alpha) * X
+    Un = alpha * Ut + (1 - alpha) * U
+    # eq rows: projection pins z to beq; dual accumulates violation
+    Zeq_pre = alpha * Req + (1 - alpha) * qp.beq
+    Yeq_n = Yeq + rho_eq * (Zeq_pre - qp.beq)
+    # identity rows: box projection
+    Zx_pre = alpha * Xt + (1 - alpha) * Zx
+    Zu_pre = alpha * Ut + (1 - alpha) * Zu
+    Zx_n = jnp.clip(Zx_pre + Yx / rho_x, qp.lx, qp.ux)
+    Zu_n = jnp.clip(Zu_pre + Yu / rho_u, qp.lu, qp.uu)
+    Yx_n = Yx + rho_x * (Zx_pre - Zx_n)
+    Yu_n = Yu + rho_u * (Zu_pre - Zu_n)
+    return Xn, Un, Zx_n, Zu_n, Yeq_n, Yx_n, Yu_n
+
 def solve_ltv_qp(qp: LTVQP, cfg: SolverConfig,
                  X0: Optional[jnp.ndarray] = None,
                  U0: Optional[jnp.ndarray] = None,
@@ -273,14 +316,6 @@ def solve_ltv_qp(qp: LTVQP, cfg: SolverConfig,
         Yu = jnp.zeros((N, NU), dtype)
         rho0 = jnp.asarray(cfg.rho, dtype)
 
-    def pack(X, U):
-        # (N+1, 5): stage n -> (x_n, u_n), u_N slot zero-padded
-        Upad = jnp.concatenate([U, jnp.zeros_like(U[..., :1, :])], axis=-2)
-        return jnp.concatenate([X, Upad], axis=-1)
-
-    def unpack(W):
-        return W[..., :NX], W[..., :-1, NX:]
-
     # per-row step sizes: equality-like box rows (l == u: the pinned x0 e_y
     # and collapsed-corridor rows) carry rho * rho_eq_scale like OSQP's rho
     # vector; polish boosts active rows further
@@ -303,29 +338,8 @@ def solve_ltv_qp(qp: LTVQP, cfg: SolverConfig,
         Sinv = _factor(D, C)
 
         def body(_, state):
-            X, U, Zx, Zu, Yeq, Yx, Yu = state
-            # rhs = sigma z - q + A'(rho o z_c - y)
-            weq = rho_eq * qp.beq - Yeq
-            gx_eq, gu_eq = eq_applyT(qp, weq)
-            rx = sigma * X - qp.q_x + gx_eq + (rho_x * Zx - Yx)
-            ru = sigma * U - qp.q_u + gu_eq + (rho_u * Zu - Yu)
-            W = _solve(Sinv, C, pack(rx, ru))
-            Xt, Ut = unpack(W)
-
-            Req = eq_apply(qp, Xt, Ut)
-            Xn = alpha * Xt + (1 - alpha) * X
-            Un = alpha * Ut + (1 - alpha) * U
-            # eq rows: projection pins z to beq; dual accumulates violation
-            Zeq_pre = alpha * Req + (1 - alpha) * qp.beq
-            Yeq_n = Yeq + rho_eq * (Zeq_pre - qp.beq)
-            # identity rows: box projection
-            Zx_pre = alpha * Xt + (1 - alpha) * Zx
-            Zu_pre = alpha * Ut + (1 - alpha) * Zu
-            Zx_n = jnp.clip(Zx_pre + Yx / rho_x, qp.lx, qp.ux)
-            Zu_n = jnp.clip(Zu_pre + Yu / rho_u, qp.lu, qp.uu)
-            Yx_n = Yx + rho_x * (Zx_pre - Zx_n)
-            Yu_n = Yu + rho_u * (Zu_pre - Zu_n)
-            return Xn, Un, Zx_n, Zu_n, Yeq_n, Yx_n, Yu_n
+            return admm_iteration(qp, Sinv, C, rho_eq, rho_x, rho_u,
+                                  sigma, alpha, state)
 
         return jax.lax.fori_loop(0, iters, body, (X, U, Zx, Zu, Yeq, Yx, Yu))
 
