@@ -162,13 +162,18 @@ def main():
                                    lsim, lidar, lfleet, table=ltable,
                                    cells=lcells)
     _ = float(np.asarray(lres.log.x.sum()))  # warm + fence
-    lfleet = jax.tree.map(lambda a: a[:LIDAR_BATCH], make_fleet(5))
-    t0 = time.perf_counter()
-    lres, _ = simulate_lidar_fleet(grid, grid, path, mpc_cfg, model_cfg,
-                                   lsim, lidar, lfleet, table=ltable,
-                                   cells=lcells)
-    _ = float(np.asarray(lres.log.x.sum() + lres.log.v.sum()))
-    lidar_rate = LIDAR_BATCH * LIDAR_STEPS / (time.perf_counter() - t0)
+    ltimes = []
+    for seed in (5, 15, 25):  # median of 3 (VERDICT r4 next #4: single-run
+        # timings on this platform swing ~20% and read as regressions)
+        lfleet = jax.tree.map(lambda a: a[:LIDAR_BATCH], make_fleet(seed))
+        _ = float(np.asarray(lfleet.s).sum())
+        t0 = time.perf_counter()
+        lres, _ = simulate_lidar_fleet(grid, grid, path, mpc_cfg, model_cfg,
+                                       lsim, lidar, lfleet, table=ltable,
+                                       cells=lcells)
+        _ = float(np.asarray(lres.log.x.sum() + lres.log.v.sum()))
+        ltimes.append(time.perf_counter() - t0)
+    lidar_rate = LIDAR_BATCH * LIDAR_STEPS / sorted(ltimes)[len(ltimes) // 2]
 
     # Real_Track fleet (the reference's second scenario, simulation.py:58-88):
     # non-circular 867x767 real map, Monte-Carlo starts over the first half
@@ -194,11 +199,41 @@ def main():
     rt_res = simulate_fleet(rt_grid, rt_path, rt_mpc, rt_model, rt_sim,
                             make_rt_fleet(6))
     _ = float(np.asarray(rt_res.log.x.sum()))  # warm + fence
-    t0 = time.perf_counter()
-    rt_res = simulate_fleet(rt_grid, rt_path, rt_mpc, rt_model, rt_sim,
-                            make_rt_fleet(7))
-    _ = float(np.asarray(rt_res.log.x.sum() + rt_res.log.v.sum()))
-    rt_rate = RT_BATCH * RT_STEPS / (time.perf_counter() - t0)
+    rt_times = []
+    for seed in (7, 17, 27):  # median of 3
+        rt_fleet = make_rt_fleet(seed)
+        _ = float(np.asarray(rt_fleet.s).sum())
+        t0 = time.perf_counter()
+        rt_res = simulate_fleet(rt_grid, rt_path, rt_mpc, rt_model, rt_sim,
+                                rt_fleet)
+        _ = float(np.asarray(rt_res.log.x.sum() + rt_res.log.v.sum()))
+        rt_times.append(time.perf_counter() - t0)
+    rt_rate = RT_BATCH * RT_STEPS / sorted(rt_times)[len(rt_times) // 2]
+
+    # --- cross-round drift gates (VERDICT r4 next #4): every headline
+    # number is a median now; a >15% drop vs the latest recorded round is a
+    # real regression and must fail loudly, not read as noise ---
+    prior = _prior_bench()
+    if prior:
+        rates = {
+            "headline_steps_per_sec": (car_steps_per_sec,
+                                       prior.get("value")),
+            "single_car_steps_per_sec": (
+                single_steps_per_sec,
+                prior["detail"].get("single_car_steps_per_sec")),
+            "real_track_steps_per_sec": (
+                rt_rate, prior["detail"].get("real_track_steps_per_sec")),
+        }
+        # lidar rate is only comparable at the same batch (the r5 scale-up
+        # to B >= 1024 changes the operating point)
+        if prior["detail"].get("lidar_fleet_batch") == LIDAR_BATCH:
+            rates["lidar_fleet_steps_per_sec"] = (
+                lidar_rate, prior["detail"].get("lidar_fleet_steps_per_sec"))
+        for name, (now, before) in rates.items():
+            if before:
+                assert now >= 0.85 * before, (
+                    f"{name} regressed >15%: {now:.1f} vs recorded "
+                    f"{before:.1f} ({prior['src']})")
 
     print(json.dumps({
         "metric": "closed-loop MPC car-steps/sec (linearize+corridor+QP+rollout), batch 4096, obstacle-avoidance config",
@@ -227,6 +262,34 @@ def main():
             **_roofline_fields(),
         },
     }))
+
+
+def _prior_bench():
+    """Latest recorded BENCH_r*.json (the driver writes one per round) —
+    the cross-round drift baseline.  Returns {} when none parses."""
+    import glob
+    import os
+    import re
+
+    best = None
+    for p in glob.glob("/root/repo/BENCH_r*.json"):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), p)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as f:
+            rec = json.load(f)
+        parsed = rec.get("parsed") or {}
+        if not parsed.get("detail"):
+            return {}
+        parsed["src"] = os.path.basename(best[1])
+        return parsed
+    except Exception:
+        return {}
 
 
 def _roofline_fields():

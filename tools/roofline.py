@@ -110,6 +110,16 @@ def measure_vpu_peak(rows: int = 256, chains: int = 8, k: int = 512,
                 wall_s=dt)
 
 
+def measure_dispatch_floor():
+    """Round-trip cost of ONE dispatched-and-fenced trivial jitted call
+    through the remote execution tunnel — the additive floor every
+    single-call timing on this platform carries (measured r4: ~28 ms; it
+    dominated the recorded 'admm_solve_ms' and the single-map HBM number)."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.ones((8,), jnp.float32)
+    return _median_time(lambda: _fence(f(x)))
+
+
 def measure_hbm_bw(mb: int = 256, k: int = 128):
     """Attainable HBM bytes/s: ``k`` rounds of a streaming map (2 reads +
     1 write per element -> 12 bytes/f32) over ``mb`` MB inputs, all inside
@@ -168,44 +178,171 @@ def _scenario(batch: int):
     return qp, states.solver, cfg
 
 
-def measure_admm_iteration(batch: int = 4096, extra: int = 30):
-    """Per-ADMM-iteration kernel time at production shapes, isolated by
-    differencing ``iterations`` vs ``iterations + extra`` (factorizations,
-    residual passes, and I/O identical between the two programs)."""
+def measure_admm_iteration(batch: int = 4096, extra: int = 30,
+                           chain: int = 8, chain0: int = 2):
+    """Per-solve and per-ADMM-iteration DEVICE time at production shapes.
+
+    Measurement discipline (round 5): a single dispatched call on this
+    platform costs ~30 ms REGARDLESS of device compute below that scale —
+    a 30-iteration and a 60-iteration batch-4096 solve time identically
+    (30.05 vs 29.80 ms wall), so single-call timings and their differences
+    measure the tunnel, not the kernel (r4's recorded 73.7 us/iteration was
+    such an artifact).  Here K solves are CHAINED inside one jitted
+    ``lax.scan`` (each warm-started from the previous carry — a real data
+    dependency, so nothing folds), and both the dispatch floor and the
+    scan overhead cancel in the (K - K0) difference:
+
+        per_solve = (T(K) - T(K0)) / (K - K0)
+
+    Per-iteration time differences per_solve across two iteration budgets
+    (identical factorization/residual/I-O work)."""
     from multi_purpose_mpc_tpu.ops.admm_pallas import solve_ltv_qp_pallas
 
     qp, warm, cfg = _scenario(batch)
     base = cfg.solver
 
-    def timed(solver_cfg):
-        sol = None
+    def chained(k, scfg):
+        @jax.jit
+        def run(qp, w0):
+            def body(w, _):
+                sol = solve_ltv_qp_pallas(qp, w, scfg,
+                                          lanes=scfg.kernel_lanes)
+                return sol.carry, sol.r_prim
+            _, rp = jax.lax.scan(body, w0, None, length=k)
+            return rp
 
-        def run():
-            nonlocal sol
-            sol = solve_ltv_qp_pallas(qp, warm, solver_cfg,
-                                      lanes=solver_cfg.kernel_lanes)
-            _fence(sol.r_prim)
+        return run
 
-        return _median_time(run), sol
+    def per_solve(scfg):
+        f_long = chained(chain, scfg)
+        f_short = chained(chain0, scfg)
+        t_long = _median_time(lambda: _fence(f_long(qp, warm)))
+        t_short = _median_time(lambda: _fence(f_short(qp, warm)))
+        return max(t_long - t_short, 1e-12) / (chain - chain0)
 
-    t1, _ = timed(base)
-    t2, _ = timed(dataclasses.replace(base, iterations=base.iterations + extra))
+    s1 = per_solve(base)
+    s2 = per_solve(dataclasses.replace(base,
+                                       iterations=base.iterations + extra))
     n_extra = base.rho_updates * extra  # extra iterations across rho rounds
-    per_iter = max(t2 - t1, 1e-12) / n_extra
+    per_iter = max(s2 - s1, 1e-12) / n_extra
     total_iters = (base.rho_updates * base.iterations + base.polish_iters)
-    return dict(batch=batch, per_iter_s=per_iter, solve_s=t1,
+    return dict(batch=batch, per_iter_s=per_iter, solve_s=s1,
                 iters_per_solve=total_iters,
-                iter_share=per_iter * base.rho_updates * base.iterations / t1)
+                iter_share=min(per_iter * total_iters / s1, 1.0))
+
+
+# -- jaxpr FLOP counter ------------------------------------------------------
+# XLA's compiled cost_analysis() returns zero flops through the axon remote
+# backend (measured r4: iter_flops_per_lane 0.0 in ROOFLINE.json), so the
+# count is taken from the traced jaxpr instead: 1 flop per element per
+# arithmetic primitive, 2*b*m*n*k for dot_general, scan bodies multiplied by
+# their static trip count.  Comparisons/selects/copies count zero — the
+# number is a FLOP count, not an issue-slot count, so the derived
+# vpu_fraction is a LOWER bound (un-fused mul+add pairs spend 2 issue slots
+# per 2 flops where the peak kernel's FMA spends 1).
+
+_EW1 = {"add", "sub", "mul", "div", "neg", "abs", "max", "min", "exp",
+        "log", "sqrt", "rsqrt", "tanh", "logistic", "sign", "floor",
+        "ceil", "round", "sin", "cos", "pow", "atan2", "rem", "square",
+        "erf", "expm1", "log1p"}
+
+_REDUCE = {"reduce_sum", "reduce_max", "reduce_min", "reduce_prod",
+           "cumsum", "cumlogsumexp", "cummax", "cummin", "argmax", "argmin"}
+
+
+def _aval_size(aval) -> float:
+    return float(np.prod(aval.shape)) if aval.shape else 1.0
+
+
+def _count_jaxpr(jaxpr) -> float:
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        p = eqn.primitive.name
+        params = eqn.params
+        if p in ("pjit", "closed_call", "custom_jvp_call", "custom_vjp_call",
+                 "remat", "checkpoint", "custom_vjp_call_jaxpr"):
+            inner = params.get("jaxpr") or params.get("call_jaxpr")
+            if inner is None:
+                continue
+            total += _count_jaxpr(getattr(inner, "jaxpr", inner))
+        elif p == "scan":
+            total += params["length"] * _count_jaxpr(params["jaxpr"].jaxpr)
+        elif p == "while":
+            # no static trip count: count ONE pass (documented lower bound;
+            # the solver bodies under measurement use scan/fori only)
+            total += _count_jaxpr(params["body_jaxpr"].jaxpr)
+        elif p == "cond":
+            total += max(_count_jaxpr(b.jaxpr) for b in params["branches"])
+        elif p in _EW1:
+            total += _aval_size(eqn.outvars[0].aval)
+        elif p == "clamp":
+            total += 2.0 * _aval_size(eqn.outvars[0].aval)
+        elif p == "integer_pow":
+            total += max(params["y"] - 1, 1) * _aval_size(eqn.outvars[0].aval)
+        elif p == "dot_general":
+            (lc, rc), (lb, _rb) = params["dimension_numbers"]
+            lhs = eqn.invars[0].aval
+            rhs = eqn.invars[1].aval
+            m = np.prod([lhs.shape[i] for i in range(lhs.ndim)
+                         if i not in set(lc) | set(lb)] or [1.0])
+            n = np.prod([rhs.shape[i] for i in range(rhs.ndim)
+                         if i not in set(rc) | set(lb)] or [1.0])
+            k = np.prod([lhs.shape[i] for i in lc] or [1.0])
+            b = np.prod([lhs.shape[i] for i in lb] or [1.0])
+            total += 2.0 * b * m * n * k
+        elif p in _REDUCE:
+            total += _aval_size(eqn.invars[0].aval)
+    return total
+
+
+def _kernel_jaxprs(jaxpr, out=None):
+    """Collect every pallas_call kernel jaxpr (with its grid size) reachable
+    from ``jaxpr``."""
+    if out is None:
+        out = []
+    for eqn in jaxpr.eqns:
+        p = eqn.primitive.name
+        params = eqn.params
+        if p == "pallas_call":
+            grid = params["grid_mapping"].grid
+            n = float(np.prod([g for g in grid if isinstance(g, int)] or [1]))
+            out.append((params["jaxpr"].jaxpr
+                        if hasattr(params["jaxpr"], "jaxpr")
+                        else params["jaxpr"], n))
+        else:
+            for key in ("jaxpr", "call_jaxpr", "body_jaxpr", "cond_jaxpr"):
+                inner = params.get(key)
+                if inner is not None:
+                    _kernel_jaxprs(getattr(inner, "jaxpr", inner), out)
+            for b in params.get("branches", ()):
+                _kernel_jaxprs(getattr(b, "jaxpr", b), out)
+    return out
+
+
+def count_kernel_flops(lanes: int = 128):
+    """FLOPs per lane of ONE production fused-solver call, counted from the
+    ACTUAL Pallas kernel jaxpr (factorizations x rho rounds + all iteration
+    bodies + polish + residual passes — everything the kernel executes),
+    not the XLA analogue.  Traced at B = ``lanes`` (one grid tile); the
+    kernel body is identical per tile, so flops/lane is batch-invariant."""
+    from multi_purpose_mpc_tpu.ops.admm_pallas import solve_ltv_qp_pallas
+
+    qp, warm, cfg = _scenario(lanes)
+    jpr = jax.make_jaxpr(
+        lambda q, w: solve_ltv_qp_pallas(q, w, cfg.solver, lanes=lanes))(
+        qp, warm)
+    kernels = _kernel_jaxprs(jpr.jaxpr)
+    assert kernels, "no pallas_call found in the solver trace"
+    per_tile = sum(n * _count_jaxpr(k) for k, n in kernels)
+    return dict(solve_flops_per_lane=per_tile / lanes)
 
 
 def count_iteration_flops():
-    """Per-iteration FLOPs per lane from XLA's cost analysis of the
-    PRODUCTION iteration body: ``ltv_qp.admm_iteration`` is the exact body
-    the XLA solver loops over (and algorithmically what the fused Pallas
-    kernels run), lifted to module scope precisely so it can be compiled
-    and costed standalone — XLA's cost analysis does not multiply a loop
-    body by its trip count, so differencing whole-solver budgets cancels to
-    zero (measured r4)."""
+    """Per-iteration FLOPs per lane of the PRODUCTION iteration body:
+    ``ltv_qp.admm_iteration`` is the exact body the XLA solver loops over
+    (and algorithmically what the fused Pallas kernels run).  Counted from
+    the traced jaxpr (see ``_count_jaxpr``) — XLA's compiled cost analysis
+    reports 0 flops through the remote axon backend (measured r4)."""
     from multi_purpose_mpc_tpu.ops.ltv_qp import (_build_blocks, _factor,
                                                   admm_iteration)
 
@@ -228,12 +365,10 @@ def count_iteration_flops():
              jnp.zeros((N + 1, 3)), jnp.zeros((N + 1, 3)),
              jnp.zeros((N, 2)))
 
-    f = jax.jit(lambda st: admm_iteration(qp, Sinv, C, rho_eq, rho_x, rho_u,
-                                          sigma, alpha, st))
-    cost = f.lower(state).compile().cost_analysis()
-    if isinstance(cost, list):  # old jax versions return [dict]
-        cost = cost[0]
-    return dict(iter_flops_per_lane=float(cost["flops"]))
+    jpr = jax.make_jaxpr(
+        lambda st: admm_iteration(qp, Sinv, C, rho_eq, rho_x, rho_u,
+                                  sigma, alpha, st))(state)
+    return dict(iter_flops_per_lane=_count_jaxpr(jpr.jaxpr))
 
 
 def kernel_hbm_bytes(batch: int = 4096, N: int = 30) -> int:
@@ -262,12 +397,18 @@ def roofline(batch: int = 4096):
     assert jax.default_backend() == "tpu", "roofline is a real-chip measure"
     vpu = measure_vpu_peak()
     hbm = measure_hbm_bw()
+    floor = measure_dispatch_floor()
     it = measure_admm_iteration(batch)
     fl = count_iteration_flops()
+    kf = count_kernel_flops()
 
-    achieved = fl["iter_flops_per_lane"] * batch / it["per_iter_s"]
+    # solve_s/per_iter_s are chained-difference DEVICE times (the dispatch
+    # floor cancels inside measure_admm_iteration; `floor` is reported so
+    # single-call walls elsewhere can be read correctly)
+    achieved = kf["solve_flops_per_lane"] * batch / it["solve_s"]
     frac = achieved / vpu["vpu_peak_flops"]
-    # solve-phase HBM intensity: bytes moved once per solve vs iteration time
+    slot_frac = achieved / vpu["vpu_peak_fma_slots"]  # 1 flop ~ 1 issue slot
+    # solve-phase HBM intensity: bytes moved once per solve vs solve time
     bytes_per_solve = kernel_hbm_bytes(batch)
     hbm_frac = (bytes_per_solve / it["solve_s"]) / hbm["hbm_bw_bytes"]
 
@@ -275,12 +416,15 @@ def roofline(batch: int = 4096):
         "vpu_peak_flops": vpu["vpu_peak_flops"],
         "vpu_peak_fma_slots": vpu["vpu_peak_fma_slots"],
         "hbm_bw_bytes": hbm["hbm_bw_bytes"],
+        "dispatch_floor_ms": floor * 1e3,
         "admm_iter_us": it["per_iter_s"] * 1e6,
         "admm_solve_ms": it["solve_s"] * 1e3,
         "iter_share_of_solve": it["iter_share"],
         "iter_flops_per_lane": fl["iter_flops_per_lane"],
+        "solve_flops_per_lane": kf["solve_flops_per_lane"],
         "achieved_flops": achieved,
         "vpu_fraction": frac,
+        "vpu_slot_fraction": slot_frac,
         "kernel_hbm_bytes_per_solve": bytes_per_solve,
         "hbm_fraction_during_solve": hbm_frac,
         "batch": batch,
@@ -295,13 +439,17 @@ def main():
     print(f"measured VPU peak: {r['vpu_peak_flops']/1e12:.2f} Tflop/s "
           f"({r['vpu_peak_fma_slots']/1e12:.2f} Tfma-slots/s)")
     print(f"measured HBM bw:   {r['hbm_bw_bytes']/1e9:.0f} GB/s")
+    print(f"dispatch floor:    {r['dispatch_floor_ms']:.1f} ms/call")
     print(f"ADMM kernel: {r['admm_iter_us']:.1f} us/iteration at "
-          f"B={r['batch']}, solve {r['admm_solve_ms']:.2f} ms "
-          f"({r['iter_share_of_solve']*100:.0f}% in the iteration body)")
-    print(f"iteration body: {r['iter_flops_per_lane']:.0f} flops/lane "
-          f"(XLA cost analysis) -> achieved "
-          f"{r['achieved_flops']/1e12:.2f} Tflop/s = "
-          f"{r['vpu_fraction']*100:.1f}% of measured VPU peak")
+          f"B={r['batch']}, solve {r['admm_solve_ms']:.2f} ms device time "
+          f"(chained-difference; "
+          f"{r['iter_share_of_solve']*100:.0f}% in the iteration body)")
+    print(f"kernel work: {r['solve_flops_per_lane']:.0f} flops/lane/solve, "
+          f"{r['iter_flops_per_lane']:.0f} flops/lane/iteration "
+          f"(jaxpr counts) -> achieved "
+          f"{r['achieved_flops']/1e12:.3f} Tflop/s = "
+          f"{r['vpu_fraction']*100:.1f}% of measured VPU peak "
+          f"({r['vpu_slot_fraction']*100:.1f}% of issue slots)")
     print(f"kernel HBM traffic: {r['kernel_hbm_bytes_per_solve']/1e6:.1f} MB "
           f"per solve = {r['hbm_fraction_during_solve']*100:.1f}% of HBM bw "
           "during the solve (iterations are VMEM-resident)")
