@@ -141,13 +141,17 @@ class SolverConfig:
     # feasibility + optimality gap, not elementwise solution match.
     eps_abs: float = 1e-3
     eps_rel: float = 1e-3
-    # Lane-tile width for the fused TPU kernels (multiple of 128).  With the
-    # rolled stage loops over VMEM scratch (round 2), 256 lanes compiles and
-    # runs at N=30/batch 4096 (round 1's scoped-vmem OOM is gone), but is
-    # ~4% slower than 128 on a v5e (measured 131k vs 136k steps/s): the
-    # wider tile halves the grid without improving VPU occupancy.  128 stays
-    # the default.
-    kernel_lanes: int = 128
+    # Lane-tile width for the fused TPU solver kernels (multiple of 128).
+    # None = auto: 1024 -- the (8, 128) sublane-packed layout, every
+    # per-lane quantity a FULL vreg instead of 1 sublane in 8 -- once the
+    # batch can fill such a tile, else 128.  Measured on the v5e at the
+    # production budget (N=30, B=4096, round 5): 4.36 vs 14.52 ms/solve,
+    # 3.3x, identical acceptance (ops/admm_pallas.resolve_lanes).  Packed
+    # tiles require the rolled stage loops and single-tile dispatch --
+    # ops/admm_pallas._use_rolled/_dispatch_tiles handle both
+    # automatically.  Set an int to force a width (128 = the classic
+    # layout; 256 measured ~4% slower than 128 in round 2).
+    kernel_lanes: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,6 +215,36 @@ class MPCConfig:
     # matmul, "gather" = plain indexed read (fastest on CPU; XLA serializes
     # it on TPU), "auto" = pallas on TPU, gather elsewhere.
     extract_backend: str = "auto"
+
+    def __post_init__(self):
+        # Budget-as-regularizer contract (measured, round 4): on cost-flat
+        # curvature weights (R_kappa == 0 — the reference's literal
+        # R = diag(0.5, 0), MPC.py:14-59) the production iteration budget is
+        # the implicit kappa regularizer, exactly like OSQP's default
+        # eps ~1e-3 is for the reference.  CONVERGING those QPs (a cranked
+        # budget or the escalation pass) returns bound-saturating members of
+        # the optimal kappa band and drives measurably worse (Sim_Track lap:
+        # mean speed 0.92 -> 0.65, lap DNF — SolverConfig.escalate_lanes
+        # docstring).  Warn rather than raise: the combination is legal,
+        # just known-degraded; strictly convex R (R_kappa > 0) removes the
+        # flatness and makes high accuracy purely a win.
+        budget = self.solver.iterations * self.solver.rho_updates
+        _PRODUCTION_BUDGET = 30 * 6
+        if self.R[1] == 0.0 and (budget > 2 * _PRODUCTION_BUDGET
+                                 or self.solver.escalate_lanes > 0):
+            import warnings
+
+            warnings.warn(
+                "High-accuracy solver budget "
+                f"({self.solver.iterations}x{self.solver.rho_updates} "
+                "iterations"
+                + (", escalation on" if self.solver.escalate_lanes else "")
+                + ") with a cost-flat curvature weight R[1] == 0: converged "
+                "solutions are non-unique in kappa and measured to DRIVE "
+                "WORSE than budget-limited ones (the iteration budget is "
+                "the implicit regularizer, like OSQP's default eps~1e-3 for "
+                "the reference weights). Use R[1] > 0 (e.g. 0.01) when "
+                "cranking solver accuracy.", stacklevel=2)
 
     @property
     def nx(self) -> int:

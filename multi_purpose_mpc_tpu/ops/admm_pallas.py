@@ -62,13 +62,15 @@ def _lane_shape(lanes: int) -> Tuple[int, ...]:
     smaller tiles keep the classic 1-D layout (identical math — the kernel
     body is lane-shape-generic).
 
-    Toolchain status (v5e, 2026-08): lanes >= 512 tiles fail to COMPILE
-    (remote tpu_compile_helper exit 1) on the unrolled N <= 32 SSA path, so
-    the 2-D layout is unreachable on current Mosaic except via explicit
-    ``kernel_lanes=1024``; its math is pinned by an interpret-mode test
-    (tests/test_admm_pallas.py::test_packed_lane_layout).  The measured
-    lane sweep (N=30, B=4096): 128 lanes 14.1 ms/step < 256 lanes 15.3 —
-    the default stays 128."""
+    Toolchain status (v5e, 2026-08, round-5 bisection): the lanes >= 512
+    "compile failure" (remote tpu_compile_helper exit 1 after ~10 min) is a
+    compile-time/resource blow-up specific to MULTI-TILE pipelined grids of
+    this kernel — the identical body at grid=(1,) compiles and runs, and
+    measures 2.7x faster per lane than the (128,) layout (322 vs 864
+    ns/lane at a 30-iteration budget, B=1024).  The wrappers below
+    therefore dispatch 2-D tiles as a ``lax.map`` of single-tile
+    ``pallas_call``s (one Mosaic compile, sequential tiles — exactly the
+    TPU grid schedule) instead of a multi-tile grid."""
     if lanes >= 1024 and lanes % 1024 == 0:
         return (lanes // 128, 128)
     return (lanes,)
@@ -266,7 +268,8 @@ def _plane_interleave(a, b):
     return jnp.stack([a, b], axis=1).reshape((2 * e,) + a.shape[1:])
 
 
-def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
+def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6,
+                 lanes: int = DEFAULT_LANES):
     """Builds the kernel body for a fixed horizon + solver config.
 
     ``build``: optional in-kernel QP constructor.  When given, the kernel's
@@ -295,7 +298,7 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
     # stages, so "auto" stays schur; CR remains the opt-in for very long
     # horizons where O(log N) depth can win.
     CR = cfg.stage_solver == "cr"
-    ROLLED = _use_rolled(N, cfg)
+    ROLLED = _use_rolled(N, cfg, lanes)
 
     def kernel(*refs):
         if build is None:
@@ -732,11 +735,25 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
             rho_new = jnp.where(jnp.isfinite(rho_new), rho_new, rho_v[0])
             return (W, Zw, Yeq, Yw, rho_new[None])
 
-        # rho rounds unrolled (static, small) — Mosaic does not lower
-        # lax.scan with array carries inside kernels
+        # rho rounds: rolled fori_loop for 2-D packed lane tiles, unrolled
+        # otherwise.  Rolling cuts generated code ~rho_updates-fold — which
+        # is what lets the (S, 128) packed layout compile at the production
+        # budget at all (the Mosaic backend's compile cost scales with body
+        # size x lane-tile width; r5 bisection: a ONE-round 1024-lane body
+        # compiles and runs 2.7x faster per lane, the six-round unrolled
+        # body dies).  The classic 1-D tiles keep the unrolled rounds:
+        # rolling them ballooned THEIR compile from ~1-2 min to 5-13 min
+        # (measured r5) for zero device-time win (14.52 vs 14.56 ms at
+        # B=4096).  fori_loop array carries lower fine in Mosaic — it is
+        # lax.scan that has no in-kernel lowering.
         carry = (W, Zw, Yeq, Yw, rho)
-        for _ in range(max(cfg.rho_updates, 1)):
-            carry = run_round(carry)
+        if len(LS) == 2:
+            carry = jax.lax.fori_loop(
+                0, max(cfg.rho_updates, 1), lambda _i, c: run_round(c),
+                carry)
+        else:
+            for _ in range(max(cfg.rho_updates, 1)):
+                carry = run_round(carry)
         W, Zw, Yeq, Yw, rho = carry
 
         if cfg.polish_iters > 0:
@@ -769,17 +786,31 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6):
     return kernel
 
 
-def _use_rolled(N: int, cfg: SolverConfig) -> bool:
+def resolve_lanes(B: int, lanes: int | None) -> int:
+    """``lanes=None`` (the SolverConfig default) resolves by batch size:
+    the (8, 128) sublane-packed 1024-lane tile once the batch can fill one
+    (measured r5 at the production budget, B=4096: 4.36 vs 14.52 ms/solve —
+    3.3x — with identical acceptance), the classic 128-lane tile below
+    that (padding a small batch to 1024 would waste more than the packing
+    wins; 128 also keeps single-car latency minimal)."""
+    if lanes is not None:
+        return lanes
+    return 1024 if B >= 1024 else DEFAULT_LANES
+
+
+def _use_rolled(N: int, cfg: SolverConfig, lanes: int = DEFAULT_LANES) -> bool:
     """Single source of truth for the stage-loop policy — the kernel body
     and the scratch allocation MUST agree (a forced-rolled kernel over the
     N <= 32 placeholder scratch fails Pallas lowering with a shape-mismatch
-    swap).  cfg.rolled_stage_loops: None = auto (rolled above N = 32),
-    True/False forces — the escape hatch that makes the sublane-packed
-    (S, 128) layout testable at N = 30 (the unrolled SSA path is what fails
-    Mosaic compilation at lanes >= 512; see _lane_shape)."""
+    swap).  cfg.rolled_stage_loops: None = auto (rolled above N = 32, and
+    ALWAYS for 2-D packed lane tiles — the unrolled SSA body at (S, 128)
+    still blows up the Mosaic backend's compile, while the rolled body
+    compiles and is the 3.3x-fast path), True/False forces."""
     if cfg.stage_solver == "cr":
         return False
     if cfg.rolled_stage_loops is None:
+        if len(_lane_shape(lanes)) == 2:
+            return True
         return N > 32
     return bool(cfg.rolled_stage_loops)
 
@@ -877,14 +908,97 @@ def _pack_carry(c: SolverCarry):
     return t(W), t(Zw), t(c.Yeq), t(Yw), c.rho[None, :]  # rho: (1, B)
 
 
+def _dispatch_tiles(kernel, raw, block_shapes, out_blocks, N: int,
+                    cfg: SolverConfig, lanes: int, Bp: int, interpret: bool,
+                    n_raw_stage: int = 0):
+    """Run ``kernel`` over all ``Bp // lanes`` lane tiles.
+
+    ``raw``: input arrays with a trailing contiguous batch axis (..., Bp).
+    1-D lane tiles dispatch as a classic multi-tile ``pallas_call`` grid.
+    2-D ``(S, 128)`` packed tiles dispatch as ``lax.map`` of a
+    SINGLE-TILE ``pallas_call``: the identical kernel body at grid=(1,)
+    compiles where the multi-tile pipelined grid blows up the Mosaic
+    backend (round-5 bisection, see :func:`_lane_shape`), and tiles run
+    sequentially either way on a TPU core.  Returns output arrays with the
+    trailing batch axis flattened back to (..., Bp)."""
+    lblk = _lane_shape(lanes)
+    rolled = _use_rolled(N, cfg, lanes)
+    cp = _compiler_params(N, lanes, rolled, n_raw_stage=n_raw_stage)
+    n_tiles = Bp // lanes
+    f32 = jnp.float32
+
+    if len(lblk) == 2:
+        S_sub, LW = lblk
+
+        def to_tiles(a):  # (..., Bp) -> (tiles, ..., S, 128)
+            a = a.reshape(a.shape[:-1] + (n_tiles, S_sub, LW))
+            return jnp.moveaxis(a, -3, 0)
+
+        def spec1(s):
+            return pl.BlockSpec(s + lblk,
+                                (lambda i, _n=len(s) + 2: (0,) * _n),
+                                memory_space=pltpu.VMEM)
+
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pl.GridSpec(
+                grid=(1,),
+                in_specs=[spec1(s) for s in block_shapes],
+                out_specs=[spec1(s) for s in out_blocks],
+                scratch_shapes=_solver_scratch(N, lanes, rolled),
+            ),
+            out_shape=[jax.ShapeDtypeStruct(s + lblk, f32)
+                       for s in out_blocks],
+            interpret=interpret,
+            **({"compiler_params": cp} if cp is not None else {}),
+        )
+        # tiles dispatched as a PYTHON loop of identical single-tile calls
+        # (static, small n_tiles): XLA compiles the Mosaic kernel once and
+        # emits n_tiles custom-calls.  A lax.map/scan wrapper instead makes
+        # the whole program fail remote compilation at n_tiles > 1
+        # (measured r5: scan length 4 -> tpu_compile_helper exit 1 in 3 s
+        # with the kernel itself already compiled; lengths 1 and the plain
+        # call both fine).
+        tiles_in = tuple(to_tiles(a) for a in raw)
+        per_tile = [call(*(a[i] for a in tiles_in))
+                    for i in range(n_tiles)]
+        outs = [jnp.stack(parts) for parts in zip(*per_tile)]
+
+        def from_tiles(a):  # (tiles, ..., S, 128) -> (..., Bp)
+            a = jnp.moveaxis(a, 0, -3)
+            return a.reshape(a.shape[:-3] + (Bp,))
+
+        return tuple(from_tiles(o) for o in outs)
+
+    def spec(s):
+        return pl.BlockSpec(s + lblk,
+                            (lambda i, _n=len(s): (0,) * _n + (i,)),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(
+            grid=(n_tiles,),
+            in_specs=[spec(s) for s in block_shapes],
+            out_specs=[spec(s) for s in out_blocks],
+            scratch_shapes=_solver_scratch(N, lanes, rolled),
+        ),
+        out_shape=[jax.ShapeDtypeStruct(s + (Bp,), f32)
+                   for s in out_blocks],
+        interpret=interpret,
+        **({"compiler_params": cp} if cp is not None else {}),
+    )(*raw)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "lanes", "interpret"))
 def solve_ltv_qp_pallas(qp: LTVQP, warm: SolverCarry, cfg: SolverConfig,
-                        lanes: int = DEFAULT_LANES,
+                        lanes: int | None = None,
                         interpret: bool = False) -> LTVSolution:
     """Batched solve: ``qp``/``warm`` carry a leading batch axis B (padded to
-    a multiple of ``lanes``).  Drop-in replacement for
-    ``vmap(solve_ltv_qp)`` on the hot path."""
+    a multiple of ``lanes``; ``None`` = auto, see :func:`resolve_lanes`).
+    Drop-in replacement for ``vmap(solve_ltv_qp)`` on the hot path."""
     B = qp.A.shape[0]
+    lanes = resolve_lanes(B, lanes)
     N = qp.N
     pad = (-B) % lanes
     if pad:
@@ -897,74 +1011,32 @@ def solve_ltv_qp_pallas(qp: LTVQP, warm: SolverCarry, cfg: SolverConfig,
     AB, beq, Pd, qv, lw, uw = _pack_qp(qp)
     W0, Zw0, Yeq0, Yw0, rho0 = _pack_carry(warm)
 
-    n_tiles = Bp // lanes
-    lblk = _lane_shape(lanes)
-    # 2-D packed tiles: split the trailing batch axis (..., Bp) ->
-    # (..., Bp/128, 128), a free reshape (contiguous batch); 1-D tiles pass
-    # through unchanged
-    if len(lblk) == 2:
-        LW = lblk[1]
-        rs = lambda a: a.reshape(a.shape[:-1] + (Bp // LW, LW))
-    else:
-        rs = lambda a: a
-    inputs = tuple(rs(a) for a in
-                   (AB, beq, Pd, qv, lw, uw, W0, Zw0, Yeq0, Yw0, rho0))
-    kernel = _make_kernel(N, cfg)
-
-    def spec(*block_shape):
-        ndim = len(block_shape)
-        idx_tail = (lambda i: (i, 0)) if len(lblk) == 2 else (lambda i: (i,))
-        return pl.BlockSpec(
-            block_shape + lblk,
-            (lambda i, _nd=ndim: tuple([0] * _nd) + idx_tail(i)),
-            memory_space=pltpu.VMEM)
-
-    grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
-        in_specs=[
-            spec(N, NX, NW),  # AB
-            spec(N + 1, NX),  # beq
-            spec(N + 1, NW),  # Pd
-            spec(N + 1, NW),  # qv
-            spec(N + 1, NW),  # lw
-            spec(N + 1, NW),  # uw
-            spec(N + 1, NW),  # W0
-            spec(N + 1, NW),  # Zw0
-            spec(N + 1, NX),  # Yeq0
-            spec(N + 1, NW),  # Yw0
-            spec(1,),  # rho0
-        ],
-        out_specs=[
-            spec(N + 1, NW),  # W
-            spec(N + 1, NW),  # Zw
-            spec(N + 1, NX),  # Yeq
-            spec(N + 1, NW),  # Yw
-            spec(1,),  # rho
-            spec(1,),  # rp
-            spec(1,),  # rd
-        ],
-        scratch_shapes=_solver_scratch(N, lanes, _use_rolled(N, cfg)),
-    )
-    f32 = jnp.float32
-    lb = (Bp // lblk[-1], lblk[-1]) if len(lblk) == 2 else (Bp,)
-    out_shapes = [
-        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
-        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
-        jax.ShapeDtypeStruct((N + 1, NX) + lb, f32),
-        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
-        jax.ShapeDtypeStruct((1,) + lb, f32),
-        jax.ShapeDtypeStruct((1,) + lb, f32),
-        jax.ShapeDtypeStruct((1,) + lb, f32),
+    block_shapes = [
+        (N, NX, NW),   # AB
+        (N + 1, NX),   # beq
+        (N + 1, NW),   # Pd
+        (N + 1, NW),   # qv
+        (N + 1, NW),   # lw
+        (N + 1, NW),   # uw
+        (N + 1, NW),   # W0
+        (N + 1, NW),   # Zw0
+        (N + 1, NX),   # Yeq0
+        (N + 1, NW),   # Yw0
+        (1,),          # rho0
     ]
-
-    cp = _compiler_params(N, lanes, _use_rolled(N, cfg))
-    W, Zw, Yeq, Yw, rho, rp, rd = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        interpret=interpret,
-        **({"compiler_params": cp} if cp is not None else {}),
-    )(*inputs)
+    out_blocks = [
+        (N + 1, NW),   # W
+        (N + 1, NW),   # Zw
+        (N + 1, NX),   # Yeq
+        (N + 1, NW),   # Yw
+        (1,),          # rho
+        (1,),          # rp
+        (1,),          # rd
+    ]
+    raw = (AB, beq, Pd, qv, lw, uw, W0, Zw0, Yeq0, Yw0, rho0)
+    W, Zw, Yeq, Yw, rho, rp, rd = _dispatch_tiles(
+        _make_kernel(N, cfg, lanes=lanes), raw, block_shapes, out_blocks,
+        N, cfg, lanes, Bp, interpret)
 
     # unpack back to (B, stages, ...) and trim padding
     t = lambda a: jnp.transpose(
@@ -1086,7 +1158,7 @@ def _make_builder(N: int, mpc_cfg, model_cfg):
                                               "lanes", "interpret"))
 def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
                        warm: SolverCarry, cfg: SolverConfig, mpc_cfg,
-                       model_cfg, lanes: int = DEFAULT_LANES,
+                       model_cfg, lanes: int | None = None,
                        interpret: bool = False) -> LTVSolution:
     """Fully fused control-QP solve: assembly + ADMM in one kernel.
 
@@ -1098,6 +1170,7 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
     """
     N = v_ref.shape[-1]
     B = v_ref.shape[0]
+    lanes = resolve_lanes(B, lanes)
     pad = (-B) % lanes
     if pad:
         padrep = lambda a: jnp.concatenate(
@@ -1108,56 +1181,20 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
         warm = jax.tree.map(padrep, warm)
     Bp = B + pad
 
-    lblk = _lane_shape(lanes)
-    if len(lblk) == 2:
-        LW = lblk[1]
-        rs = lambda a: a.reshape(a.shape[:-1] + (Bp // LW, LW))
-    else:
-        rs = lambda a: a
-    t = lambda a: rs(jnp.transpose(a, (1, 0)))
+    t = lambda a: jnp.transpose(a, (1, 0))
     raw = (t(v_ref), t(kappa_ref), t(delta_s), t(lb_c), t(ub_c),
-           t(x0), t(kappa_pred))
-    W0, Zw0, Yeq0, Yw0, rho0 = (
-        rs(a) for a in _pack_carry(warm))
+           t(x0), t(kappa_pred)) + _pack_carry(warm)
 
     build = _make_builder(N, mpc_cfg, model_cfg)
-    kernel = _make_kernel(N, cfg, build=build, n_raw=7)
-
-    def spec(*block_shape):
-        ndim = len(block_shape)
-        idx_tail = (lambda i: (i, 0)) if len(lblk) == 2 else (lambda i: (i,))
-        return pl.BlockSpec(block_shape + lblk,
-                            (lambda i, _nd=ndim: tuple([0] * _nd) + idx_tail(i)),
-                            memory_space=pltpu.VMEM)
-
-    grid_spec = pl.GridSpec(
-        grid=(Bp // lanes,),
-        in_specs=[spec(N), spec(N), spec(N), spec(N), spec(N),
-                  spec(NX), spec(N),
-                  spec(N + 1, NW), spec(N + 1, NW), spec(N + 1, NX),
-                  spec(N + 1, NW), spec(1,)],
-        out_specs=[spec(N + 1, NW), spec(N + 1, NW), spec(N + 1, NX),
-                   spec(N + 1, NW), spec(1,), spec(1,), spec(1,)],
-        scratch_shapes=_solver_scratch(N, lanes, _use_rolled(N, cfg)),
-    )
-    f32 = jnp.float32
-    lb = (Bp // lblk[-1], lblk[-1]) if len(lblk) == 2 else (Bp,)
-    out_shapes = [
-        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
-        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
-        jax.ShapeDtypeStruct((N + 1, NX) + lb, f32),
-        jax.ShapeDtypeStruct((N + 1, NW) + lb, f32),
-        jax.ShapeDtypeStruct((1,) + lb, f32),
-        jax.ShapeDtypeStruct((1,) + lb, f32),
-        jax.ShapeDtypeStruct((1,) + lb, f32),
-    ]
-    cp = _compiler_params(N, lanes, _use_rolled(N, cfg),
-                          n_raw_stage=6 * N + NX)
-    W, Zw, Yeq, Yw, rho, rp, rd = pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shapes,
-        interpret=interpret,
-        **({"compiler_params": cp} if cp is not None else {}),
-    )(*raw, W0, Zw0, Yeq0, Yw0, rho0)
+    kernel = _make_kernel(N, cfg, build=build, n_raw=7, lanes=lanes)
+    block_shapes = [(N,), (N,), (N,), (N,), (N,), (NX,), (N,),
+                    (N + 1, NW), (N + 1, NW), (N + 1, NX),
+                    (N + 1, NW), (1,)]
+    out_blocks = [(N + 1, NW), (N + 1, NW), (N + 1, NX),
+                  (N + 1, NW), (1,), (1,), (1,)]
+    W, Zw, Yeq, Yw, rho, rp, rd = _dispatch_tiles(
+        kernel, raw, block_shapes, out_blocks, N, cfg, lanes, Bp, interpret,
+        n_raw_stage=6 * N + NX)
 
     tb = lambda a: jnp.transpose(
         a.reshape(a.shape[:2] + (Bp,)), (2, 0, 1))[:B]

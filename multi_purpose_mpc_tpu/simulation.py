@@ -585,7 +585,7 @@ def _select_corridor_batched(path: PathData, segs, idx, cfg: MPCConfig, sm):
             corridor_select_pallas_segs)
 
         corridor = corridor_select_pallas_segs(
-            path, segs, idx, cfg, sm, lanes=cfg.solver.kernel_lanes)
+            path, segs, idx, cfg, sm, lanes=cfg.solver.kernel_lanes or 128)
     else:
         from multi_purpose_mpc_tpu.ops.constraints import (SegmentCandidates,
                                                            select_corridor)

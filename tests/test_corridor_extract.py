@@ -129,6 +129,8 @@ def test_fleet_corridor_matches_per_lane_reference(setup):
                                   np.asarray(cor_ref.lb))
 
 
+@pytest.mark.slow
+@pytest.mark.kernel
 def test_select_pallas_segs_matches_xla(setup):
     """The per-lane-candidates wrapper of the selection kernel (dynamic-grid
     path) agrees with the XLA selection scan (interpret mode)."""

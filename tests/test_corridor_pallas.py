@@ -1,6 +1,13 @@
 """Corridor-selection Pallas kernel vs the XLA scan (interpret mode)."""
 
 import numpy as np
+import pytest
+
+# interpret-mode Mosaic kernel parity: heavy on CPU (minutes); the
+# compiled kernels are gated on the real TPU by `bench.py --check`
+# every round, so fast iteration excludes these via -m "not slow"
+# (run explicitly with -m kernel)
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
 import jax
 import jax.numpy as jnp
 

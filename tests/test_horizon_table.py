@@ -5,6 +5,13 @@ gather-based path BITWISE (same floats, same kernel, different plumbing).
 """
 
 import jax
+import pytest
+
+# interpret-mode Mosaic kernel parity: heavy on CPU (minutes); the
+# compiled kernels are gated on the real TPU by `bench.py --check`
+# every round, so fast iteration excludes these via -m "not slow"
+# (run explicitly with -m kernel)
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
 import jax.numpy as jnp
 import numpy as np
 

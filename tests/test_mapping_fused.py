@@ -7,6 +7,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# interpret-mode Mosaic kernel parity: heavy on CPU (minutes); the
+# compiled kernels are gated on the real TPU by `bench.py --check`
+# every round, so fast iteration excludes these via -m "not slow"
+# (run explicitly with -m kernel)
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
+
 from multi_purpose_mpc_tpu.ops.corridor_extract import (build_scanline_table,
                                                         extract_occ_gather,
                                                         horizon_tables)
