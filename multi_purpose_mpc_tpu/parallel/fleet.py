@@ -37,6 +37,27 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
+def _pin_backends_for_mesh(cfg: MPCConfig, mesh: Mesh) -> MPCConfig:
+    """Resolve ``"auto"`` compute backends from the MESH's device platform,
+    not ``jax.default_backend()``.  On this environment the axon plugin
+    pins the default backend to "tpu" at interpreter start, so a process
+    that has already touched the TPU and then builds a virtual CPU mesh
+    (``__graft_entry__.dryrun_multichip``, CPU-mesh tests run after TPU
+    work) would otherwise route the sharded rollout into the Mosaic
+    kernels and fail lowering ("Only interpret mode is supported on CPU
+    backend")."""
+    import dataclasses
+
+    platform = mesh.devices.flat[0].platform
+    updates = {}
+    if cfg.solver_backend == "auto":
+        updates["solver_backend"] = "pallas" if platform == "tpu" else "xla"
+    if cfg.extract_backend == "auto":
+        updates["extract_backend"] = ("pallas" if platform == "tpu"
+                                      else "gather")
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
 def simulate_fleet_sharded(mesh: Mesh, grid: GridMap, path: PathData,
                            cfg: MPCConfig, model: ModelConfig, sim: SimConfig,
                            state0: CarState) -> SimResult:
@@ -45,6 +66,7 @@ def simulate_fleet_sharded(mesh: Mesh, grid: GridMap, path: PathData,
     ``state0``'s leading axis must divide evenly across the mesh (see
     ``round_up_batch``).  World data (grid, path) is replicated.
     """
+    cfg = _pin_backends_for_mesh(cfg, mesh)
     state0 = shard_fleet_state(state0, mesh)
 
     # the dynamic-grid path's scanline table carries host-concretized window
@@ -113,6 +135,7 @@ def simulate_lidar_fleet_sharded(mesh: Mesh, true_grid: GridMap,
                                                   resolve_cell_table,
                                                   resolve_lidar_backends)
 
+    cfg = _pin_backends_for_mesh(cfg, mesh)
     if table is None:
         from multi_purpose_mpc_tpu.ops.corridor_extract import build_scanline_table
 
