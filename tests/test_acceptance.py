@@ -87,7 +87,12 @@ def test_violation_floor_soundness_against_oracle(scenario):
             continue
         checked += 1
         P, q, A_full, l, u = materialize_dense(qp)
-        xs, _, _ = solve_qp_f64(P, q, A_full, l, u, eps=1e-9, max_iter=40000)
+        # infeasible QPs never meet eps, so max_iter IS the cost: the
+        # least-violation residual plateaus within hundreds of iterations
+        # (measured), and an under-converged oracle only RAISES r — the
+        # soundness inequality below stays conservative.  8000 (vs 40000)
+        # cuts ~2 min of suite time (r5, VERDICT #8).
+        xs, _, _ = solve_qp_f64(P, q, A_full, l, u, eps=1e-9, max_iter=8000)
         r = np.max(np.maximum(A_full @ xs - u, 0)
                    + np.maximum(l - A_full @ xs, 0))
         assert r >= floor - 5e-4, \
