@@ -412,11 +412,21 @@ def check():
                     )(wp_id)
     x0 = jnp.stack([e_y, e_psi, jnp.zeros_like(e_y)], -1)
     kp = jax.vmap(lambda u: kappa_predictions(u, cfg.N))(states.u_seq)
-    fused = solve_mpc_qp_fused(path.v_ref[idxs], path.kappa[idxs],
-                               path.seg_dist[idxs], cor_ref.lb, cor_ref.ub,
-                               x0, kp, states.solver, cfg.solver, cfg,
-                               model_cfg, lanes=128)
+    from multi_purpose_mpc_tpu.mpc import corridor_violation_floor
+
+    fused, floor_k = solve_mpc_qp_fused(
+        path.v_ref[idxs], path.kappa[idxs], path.seg_dist[idxs], cor_ref.lb,
+        cor_ref.ub, x0, kp, states.solver, cfg.solver, cfg, model_cfg,
+        lanes=128, return_floor=True)
     _assert_solver_agreement("solve_mpc_qp_fused", fused, ref, cfg)
+    # in-kernel certified floor == the external interval recurrence (r5)
+    floor_x = jax.vmap(lambda ey, ep, kr, ds, cor: corridor_violation_floor(
+        ey, ep, (None, kr, ds), cor, cfg, model_cfg))(
+        e_y, e_psi, path.kappa[idxs], path.seg_dist[idxs], cor_ref)
+    np.testing.assert_allclose(np.asarray(floor_k), np.asarray(floor_x),
+                               atol=1e-5)
+    print("check[in-kernel violation floor]: OK "
+          f"(max |d| {np.abs(np.asarray(floor_k - floor_x)).max():.1e})")
 
     # --- gate 4: N=60 horizon, compiled (rolled stage loops in VMEM) ---
     import dataclasses

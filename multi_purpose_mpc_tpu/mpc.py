@@ -538,13 +538,17 @@ def mpc_step_batched_with_corridor(state: CarState, path: PathData,
             delta_s = path.seg_dist[idxs]
         x0 = jnp.stack([e_y, e_psi, jnp.zeros_like(e_y)], axis=-1)
         kp = jax.vmap(lambda u: kappa_predictions(u, cfg.N))(state.u_seq)
-        sol = solve_mpc_qp_fused(v_ref, kappa_ref, delta_s,
-                                 corridor.lb, corridor.ub, x0, kp,
-                                 state.solver, cfg.solver, cfg, model,
-                                 lanes=cfg.solver.kernel_lanes)
-        floor = jax.vmap(lambda ey, ep, kr, ds, cor: corridor_violation_floor(
-            ey, ep, (None, kr, ds), cor, cfg, model))(
-            e_y, e_psi, kappa_ref, delta_s, corridor)
+        # the certified violation floor comes from the kernel itself
+        # (same recurrence as corridor_violation_floor over the same
+        # horizon data, computed on the VMEM-resident inputs): the external
+        # vmapped recurrence measured ~1 ms/step at B=4096 — 18% of the r5
+        # headline step (latency-bound (B,)-wide ops)
+        sol, floor = solve_mpc_qp_fused(v_ref, kappa_ref, delta_s,
+                                        corridor.lb, corridor.ub, x0, kp,
+                                        state.solver, cfg.solver, cfg,
+                                        model,
+                                        lanes=cfg.solver.kernel_lanes,
+                                        return_floor=True)
         aux = (wp_id, e_y, e_psi, corridor, floor)
         if cfg.solver.escalate_lanes > 0:
             esc = _escalated_cfg(cfg.solver)

@@ -316,8 +316,15 @@ def _make_kernel(N: int, cfg: SolverConfig, build=None, n_raw: int = 6,
             raw = refs[:n_raw]
             (W0_ref, Zw0_ref, Yeq0_ref, Yw0_ref, rho0_ref,
              W_out, Zw_out, Yeq_out, Yw_out, rho_out, rp_out, rd_out,
-             AB_s, C_s, diag_s, Sinv_s, v_s, w_s) = refs[n_raw:]
-            AB, beq, Pd, qv, lw, uw = build(*[r[:] for r in raw])
+             floor_out, AB_s, C_s, diag_s, Sinv_s, v_s, w_s) = refs[n_raw:]
+            AB, beq, Pd, qv, lw, uw, floor_v = build(*[r[:] for r in raw])
+            # certified violation floor (mpc.violation_floor), computed
+            # in-kernel from the SAME VMEM-resident horizon data the
+            # assembly just used: outside the kernel this 30-stage scalar
+            # recurrence costs ~1 ms/step at B=4096 (18% of the headline
+            # step, latency-bound (B,)-wide vector ops — measured r5);
+            # in-kernel it is ~30 register-resident vreg ops
+            floor_out[:] = floor_v[None]
         if ROLLED:
             # stage-indexed reads inside the rolled loops go through VMEM
             # scratch (dynamic indexing of register values is not a
@@ -1149,17 +1156,44 @@ def _make_builder(N: int, mpc_cfg, model_cfg):
                         full(xmin[2], N + 1), l_v, l_k], axis=1)
         uw = jnp.stack([u_ey, full(xmax[1], N + 1),
                         full(xmax[2], N + 1), u_v, u_k], axis=1)
-        return AB, beq, Pd, qv, lw, uw
+
+        # certified violation floor by interval reachability — the exact
+        # recurrence of mpc.violation_floor over the same horizon data,
+        # Python-unrolled (stage-indexing a VALUE with a traced index has
+        # no Mosaic lowering) and gated by the collapsed-corridor test like
+        # mpc.corridor_violation_floor
+        y_lo = y_hi = x0[0]
+        p_lo = p_hi = x0[1]
+        viol_max = jnp.zeros_like(x0[0])
+        for n in range(N):
+            kn = k[n]
+            dn = ds[n]
+            ny_lo = y_lo + dn * p_lo
+            ny_hi = y_hi + dn * p_hi
+            c = -(kn * kn) * dn
+            t_lo = jnp.minimum(c * y_lo, c * y_hi)
+            t_hi = jnp.maximum(c * y_lo, c * y_hi)
+            np_lo = t_lo + p_lo + dn * (-kmax - kn)
+            np_hi = t_hi + p_hi + dn * (kmax - kn)
+            viol = jnp.maximum(0.0, jnp.maximum(lbc[n] - ny_hi,
+                                                ny_lo - ubc[n]))
+            viol_max = jnp.maximum(viol_max, viol)
+            y_lo, y_hi, p_lo, p_hi = ny_lo, ny_hi, np_lo, np_hi
+        width_ok = jnp.all(ubc - lbc > 0.0, axis=0)
+        floor_v = jnp.where(width_ok, viol_max, 0.0)
+        return AB, beq, Pd, qv, lw, uw, floor_v
 
     return build
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "model_cfg",
-                                              "lanes", "interpret"))
+                                              "lanes", "interpret",
+                                              "return_floor"))
 def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
                        warm: SolverCarry, cfg: SolverConfig, mpc_cfg,
                        model_cfg, lanes: int | None = None,
-                       interpret: bool = False) -> LTVSolution:
+                       interpret: bool = False,
+                       return_floor: bool = False):
     """Fully fused control-QP solve: assembly + ADMM in one kernel.
 
     Inputs carry a leading batch axis B: ``v_ref/kappa_ref/delta_s`` (B, N)
@@ -1167,6 +1201,12 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
     (B, 3) measured spatial state, ``kappa_pred`` (B, N).  Compared to
     ``solve_ltv_qp_pallas`` this skips materializing the (B, N, 3, 5)-sized
     LTVQP tensors in HBM and the host-side packing transposes.
+
+    ``return_floor=True`` additionally returns the per-lane certified
+    violation floor (``(sol, floor)``) computed IN-KERNEL from the same
+    VMEM-resident horizon data — the external
+    ``mpc.corridor_violation_floor`` recurrence costs ~1 ms/step at B=4096
+    (18% of the r5 headline step, measured).
     """
     N = v_ref.shape[-1]
     B = v_ref.shape[0]
@@ -1191,8 +1231,8 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
                     (N + 1, NW), (N + 1, NW), (N + 1, NX),
                     (N + 1, NW), (1,)]
     out_blocks = [(N + 1, NW), (N + 1, NW), (N + 1, NX),
-                  (N + 1, NW), (1,), (1,), (1,)]
-    W, Zw, Yeq, Yw, rho, rp, rd = _dispatch_tiles(
+                  (N + 1, NW), (1,), (1,), (1,), (1,)]
+    W, Zw, Yeq, Yw, rho, rp, rd, floor = _dispatch_tiles(
         kernel, raw, block_shapes, out_blocks, N, cfg, lanes, Bp, interpret,
         n_raw_stage=6 * N + NX)
 
@@ -1208,6 +1248,7 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
     rp = flat1(rp)
     rd = flat1(rd)
     rho_b = flat1(rho)
+    floor = flat1(floor)
 
     finite = jnp.isfinite(Wb).all(axis=(-2, -1))
     eps_p = cfg.eps_abs + cfg.eps_rel * jnp.max(jnp.abs(Wb), axis=(-2, -1))
@@ -1239,5 +1280,6 @@ def solve_mpc_qp_fused(v_ref, kappa_ref, delta_s, lb_c, ub_c, x0, kappa_pred,
             finite.reshape((-1,) + (1,) * (a.ndim - 1)) if a.ndim > 1
             else finite, a, z),
         carry, fresh)
-    return LTVSolution(X=X, U=U, status=status, r_prim=rp, r_dual=rd,
-                       carry=carry)
+    sol = LTVSolution(X=X, U=U, status=status, r_prim=rp, r_dual=rd,
+                      carry=carry)
+    return (sol, floor) if return_floor else sol

@@ -156,6 +156,61 @@ def test_fused_assembly_matches_xla_pipeline(sim_track):
                                np.asarray(ref.U[:, 0, 0]), atol=3e-3)
 
 
+def test_fused_kernel_floor_matches_external(sim_track):
+    """r5: the certified violation floor computed IN-KERNEL (from the
+    VMEM-resident horizon data, solve_mpc_qp_fused(return_floor=True))
+    matches mpc.corridor_violation_floor elementwise — including lanes
+    pushed OFF-corridor where the floor is strictly positive."""
+    import jax.numpy as jnp
+
+    from multi_purpose_mpc_tpu.mpc import (
+        corridor_violation_floor,
+        kappa_predictions,
+        mpc_corridor,
+        mpc_locate,
+    )
+    from multi_purpose_mpc_tpu.models.bicycle import init_car_state
+    from multi_purpose_mpc_tpu.ops.admm_pallas import solve_mpc_qp_fused
+    from multi_purpose_mpc_tpu.ops.constraints import extract_all_segments
+    from multi_purpose_mpc_tpu.ops.path import gather_waypoint_index
+    from multi_purpose_mpc_tpu.ops.speed_profile import compute_speed_profile
+
+    path = compute_speed_profile(sim_track["path"], sim_track["speed_cfg"])
+    grid = sim_track["grid"]
+    cfg = sim_track["mpc_cfg"]
+    model = sim_track["model_cfg"]
+    segs = extract_all_segments(grid, path, 2 * model.safety_margin,
+                                n_samples=cfg.n_scan_samples,
+                                max_segments=cfg.max_segments)
+
+    B = 8
+    # large |e_y| spread pushes some lanes outside the margin-shrunk
+    # corridor -> positive floors
+    states = jax.vmap(
+        lambda i: init_car_state(path, cfg.N, e_y=0.04 * (i - 4),
+                                 wp_id=23 * i)
+    )(jnp.arange(B))
+    located = jax.vmap(lambda s: mpc_locate(s, path))(states)
+    corridor = jax.vmap(
+        lambda w: mpc_corridor(w, path, grid, cfg, model, segs))(located[0])
+    wp_id, e_y, e_psi = located
+    idxs = jax.vmap(lambda w: gather_waypoint_index(path, w, jnp.arange(cfg.N))
+                    )(wp_id)
+    x0 = jnp.stack([e_y, e_psi, jnp.zeros_like(e_y)], -1)
+    kp = jax.vmap(lambda u: kappa_predictions(u, cfg.N))(states.u_seq)
+
+    _, floor_k = solve_mpc_qp_fused(
+        path.v_ref[idxs], path.kappa[idxs], path.seg_dist[idxs],
+        corridor.lb, corridor.ub, x0, kp, states.solver, cfg.solver, cfg,
+        model, lanes=8, interpret=True, return_floor=True)
+    floor_x = jax.vmap(lambda ey, ep, kr, ds, cor: corridor_violation_floor(
+        ey, ep, (None, kr, ds), cor, cfg, model))(
+        e_y, e_psi, path.kappa[idxs], path.seg_dist[idxs], corridor)
+    np.testing.assert_allclose(np.asarray(floor_k), np.asarray(floor_x),
+                               atol=1e-6)
+    assert (np.asarray(floor_x) > 0).any(), "no off-corridor lane sampled"
+
+
 # ---------------------------------------------------------------------------
 # Cyclic-reduction stage solver (round 3): same SPD stage system as the
 # Schur recursion, stage-batched planes + O(log N) levels.
