@@ -268,9 +268,13 @@ def main():
                 lidar_rate, prior["detail"].get("lidar_fleet_steps_per_sec"))
         for name, (now, before) in rates.items():
             if before:
-                assert now >= 0.85 * before, (
-                    f"{name} regressed >15%: {now:.1f} vs recorded "
-                    f"{before:.1f} ({prior['src']})")
+                # single-car is latency-bound: even min-of-5 walls swing
+                # ~20% on tunnel jitter (measured spread 130-228 ms across
+                # identical runs, r5), so its gate is wider
+                tol = 0.70 if name == "single_car_steps_per_sec" else 0.85
+                assert now >= tol * before, (
+                    f"{name} regressed >{100 - int(tol * 100)}%: {now:.1f} "
+                    f"vs recorded {before:.1f} ({prior['src']})")
 
 
 def _prior_bench():

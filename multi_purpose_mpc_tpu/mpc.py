@@ -442,6 +442,11 @@ def mpc_step_batched(state: CarState, path: PathData, grid: GridMap,
         )
 
         blk = gather_horizon_block(table, located[0])
+        # corridor selection stays on the classic 128-lane tile: the packed
+        # (8,128) variant is bitwise-correct but measured SLOWER end-to-end
+        # (552k vs 671k headline steps/s, r5) -- this kernel is small enough
+        # that the tile-stack transposes + per-tile call overhead outweigh
+        # the sublane packing, unlike the ADMM solver
         corridor = corridor_select_from_block(blk, cfg, model.safety_margin,
                                               lanes=cfg.solver.kernel_lanes
                                               or 128)

@@ -52,9 +52,11 @@ def _make_kernel(N: int, S: int, safety_margin: float):
         cprev = cosp_ref[:]  # cos(prev psi)
         sprev = sinp_ref[:]
 
-        L = wx.shape[-1]
+        # trailing lane dims: (L,) classic, (S_sub, 128) packed — the body
+        # is lane-shape-generic (static leading indices + elementwise math)
+        LS = wx.shape[1:]
         dtype = wx.dtype
-        zeros = jnp.zeros((L,), dtype)
+        zeros = jnp.zeros(LS, dtype)
 
         ub_prev_x = zeros
         ub_prev_y = zeros
@@ -76,12 +78,12 @@ def _make_kernel(N: int, S: int, safety_margin: float):
             lb_pw_x = lb_prev_x + proj_x
             lb_pw_y = lb_prev_y + proj_y
 
-            best_score = jnp.full((L,), _BIG, dtype)
+            best_score = jnp.full(LS, _BIG, dtype)
             sel_ubx = x
             sel_uby = y
             sel_lbx = x
             sel_lby = y
-            any_valid = jnp.zeros((L,), dtype)
+            any_valid = jnp.zeros(LS, dtype)
             for s in range(S):
                 v = valid[n, s]
                 ux = ubxy[n, s, 0]
@@ -230,31 +232,72 @@ def select_call_lanes_last(ubxy, lbxy, valid, wx, wy, cpsi, spsi, ds, cprev,
     and output unpacking cannot drift."""
     Bp = wx.shape[-1]
     kernel = _make_kernel(N, S, safety_margin)
-
-    def spec(*block_shape):
-        ndim = len(block_shape)
-        return pl.BlockSpec(block_shape + (lanes,),
-                            (lambda i, _nd=ndim: tuple([0] * _nd) + (i,)),
-                            memory_space=pltpu.VMEM)
-
-    grid_spec = pl.GridSpec(
-        grid=(Bp // lanes,),
-        in_specs=[spec(N, S, 2), spec(N, S, 2), spec(N, S),
-                  spec(N), spec(N), spec(N), spec(N),
-                  spec(N), spec(N), spec(N)],
-        out_specs=[spec(N), spec(N), spec(N, 2), spec(N, 2)],
-    )
     f32 = jnp.float32
-    out_shapes = [
-        jax.ShapeDtypeStruct((N, Bp), f32),
-        jax.ShapeDtypeStruct((N, Bp), f32),
-        jax.ShapeDtypeStruct((N, 2, Bp), f32),
-        jax.ShapeDtypeStruct((N, 2, Bp), f32),
-    ]
-    ub, lb, cub, clb = pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shapes,
-        interpret=interpret,
-    )(ubxy, lbxy, valid, wx, wy, cpsi, spsi, ds, cprev, sprev)
+    in_blocks = [(N, S, 2), (N, S, 2), (N, S),
+                 (N,), (N,), (N,), (N,), (N,), (N,), (N,)]
+    out_blocks = [(N,), (N,), (N, 2), (N, 2)]
+    raw = (ubxy, lbxy, valid, wx, wy, cpsi, spsi, ds, cprev, sprev)
+
+    # 2-D packed lane tiles (lanes >= 1024 -> (S_sub, 128)): single-tile
+    # pallas_calls in a Python loop, exactly like the ADMM solver's
+    # _dispatch_tiles.  Bitwise-identical to the 1-D layout (interpret
+    # test), but measured SLOWER end-to-end for THIS kernel (r5: headline
+    # 553k vs 671k steps/s at B=4096) — the selection body is small enough
+    # that tile-stack transposes + per-tile call overhead beat the sublane
+    # packing, so production call sites keep lanes=128; the path stays for
+    # experiments and as the pattern reference.
+    from multi_purpose_mpc_tpu.ops.admm_pallas import _lane_shape
+
+    lblk = _lane_shape(lanes)
+    if len(lblk) == 2:
+        S_sub, LW = lblk
+        n_tiles = Bp // lanes
+
+        def to_tiles(a):  # (..., Bp) -> (tiles, ..., S_sub, 128)
+            a = a.reshape(a.shape[:-1] + (n_tiles, S_sub, LW))
+            return jnp.moveaxis(a, -3, 0)
+
+        def spec1(s):
+            return pl.BlockSpec(s + lblk,
+                                (lambda i, _n=len(s) + 2: (0,) * _n),
+                                memory_space=pltpu.VMEM)
+
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pl.GridSpec(
+                grid=(1,),
+                in_specs=[spec1(s) for s in in_blocks],
+                out_specs=[spec1(s) for s in out_blocks]),
+            out_shape=[jax.ShapeDtypeStruct(s + lblk, f32)
+                       for s in out_blocks],
+            interpret=interpret,
+        )
+        tiles_in = tuple(to_tiles(a) for a in raw)
+        per_tile = [call(*(a[i] for a in tiles_in)) for i in range(n_tiles)]
+        outs = [jnp.stack(parts) for parts in zip(*per_tile)]
+
+        def from_tiles(a):
+            a = jnp.moveaxis(a, 0, -3)
+            return a.reshape(a.shape[:-3] + (Bp,))
+
+        ub, lb, cub, clb = (from_tiles(o) for o in outs)
+    else:
+        def spec(s):
+            return pl.BlockSpec(s + (lanes,),
+                                (lambda i, _nd=len(s): (0,) * _nd + (i,)),
+                                memory_space=pltpu.VMEM)
+
+        grid_spec = pl.GridSpec(
+            grid=(Bp // lanes,),
+            in_specs=[spec(s) for s in in_blocks],
+            out_specs=[spec(s) for s in out_blocks],
+        )
+        out_shapes = [jax.ShapeDtypeStruct(s + (Bp,), f32)
+                      for s in out_blocks]
+        ub, lb, cub, clb = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shapes,
+            interpret=interpret,
+        )(*raw)
 
     B = out_batch
     return Corridor(ub=jnp.transpose(ub, (1, 0))[:B],

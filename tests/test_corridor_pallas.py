@@ -59,3 +59,35 @@ def test_kernel_padding(sim_track):
     ref = jax.vmap(lambda w: corridor_from_segments(path, segs, w, cfg.N, sm))(
         wp_ids)
     np.testing.assert_allclose(np.asarray(out.ub), np.asarray(ref.ub), atol=2e-5)
+
+
+def test_packed_lane_layout_bitwise(sim_track):
+    """r5: the (8,128) packed lane layout of the selection kernel (single-
+    tile dispatch, select_call_lanes_last) is BITWISE the 1-D layout.
+    Production call sites keep lanes=128 — the packed variant measured
+    slower end-to-end for this small kernel (553k vs 671k headline
+    steps/s; see select_call_lanes_last) — so this pins the machinery,
+    not a default."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multi_purpose_mpc_tpu.ops.constraints import extract_all_segments
+
+    path = sim_track["path"]
+    grid = sim_track["grid"]
+    cfg = sim_track["mpc_cfg"]
+    model = sim_track["model_cfg"]
+    segs = extract_all_segments(grid, path, 2 * model.safety_margin,
+                                n_samples=cfg.n_scan_samples,
+                                max_segments=cfg.max_segments)
+    B = 24
+    wp = jnp.asarray((np.arange(B) * 7) % path.n_wp, jnp.int32)
+    ref = corridor_select_pallas(path, segs, wp + 1, cfg,
+                                 model.safety_margin, lanes=8,
+                                 interpret=True)
+    out = corridor_select_pallas(path, segs, wp + 1, cfg,
+                                 model.safety_margin, lanes=1024,
+                                 interpret=True)
+    for name in ("ub", "lb", "border_ub", "border_lb"):
+        np.testing.assert_array_equal(np.asarray(getattr(out, name)),
+                                      np.asarray(getattr(ref, name)))
