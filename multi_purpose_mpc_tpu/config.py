@@ -150,7 +150,11 @@ class SolverConfig:
     # tiles require the rolled stage loops and single-tile dispatch --
     # ops/admm_pallas._use_rolled/_dispatch_tiles handle both
     # automatically.  Set an int to force a width (128 = the classic
-    # layout; 256 measured ~4% slower than 128 in round 2).
+    # layout; 256 measured ~4% slower than 128 in round 2).  CAUTION:
+    # forcing 128 at LONG horizons and kilobatch can hit the Mosaic
+    # multi-tile compile cliff (measured r5: N=60 at B=1024 = 8 grid tiles
+    # fails remote compilation, while the auto packed tier compiles);
+    # leave None unless you have a measured reason.
     kernel_lanes: int | None = None
 
 
